@@ -1,0 +1,93 @@
+"""Fix parameter sets — the declarative replacements for the reference's
+fix command lines (reference: README.md:22-40, SURVEY.md §5.6).
+
+Atom/bond types are stored 1-based exactly as they appear in input decks;
+kernels convert to 0-based.  ``group`` is an optional bead mask name resolved
+by the deck layer; ``None`` means all beads (every LE deck uses ``all``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class NVE:
+    """``fix nve`` — velocity Verlet (reference: src/fix_nve.cpp:64-140)."""
+
+    group: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Langevin:
+    """``fix langevin`` — drag + uniform noise POST_FORCE thermostat
+    (reference: src/fix_langevin.cpp:654-674; non-GJF default with
+    sqrt(24) * (uniform-0.5) noise)."""
+
+    t_start: float
+    t_stop: float
+    damp: float
+    seed: int = 12345
+    group: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Extrusion:
+    """``fix extrusion`` (reference: src/USER-LE/fix_extrusion.cpp).
+
+    Fires on steps where ``step % nevery == phase`` (reference gates on
+    ``ntimestep % nevery - 1``, fix_extrusion.cpp:265; load/unload use
+    offsets 3/2 so the three never rewire on the same step,
+    fix_ex_load.cpp:233-235).
+    """
+
+    nevery: int
+    neutral_type: int
+    ctcf_left: int
+    ctcf_right: int
+    through_prob: float
+    btype: int
+    ctcf_left_right: int = -1   # optional bidirectional barrier type
+    seed: int = 12345           # reference hard-codes 12345 (fix_extrusion.cpp:98)
+    phase: int = 1
+    group: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ExLoad:
+    """``fix ex_load`` (reference: src/USER-LE/fix_ex_load.cpp).
+
+    Creates an extruder bond between beads i and i+2 when all of i, i+1,
+    i+2 have exactly two bonds (chain-interior, unoccupied), distance is
+    inside ``cutoff``, with probability ``fraction``."""
+
+    nevery: int
+    iatomtype: int
+    jatomtype: int
+    cutoff: float
+    btype: int
+    fraction: float = 1.0
+    seed: int = 12345
+    imaxbond: int = 0
+    inewtype: int = -1
+    jmaxbond: int = 0
+    jnewtype: int = -1
+    phase: int = 3
+    group: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ExUnload:
+    """``fix ex_unload`` (reference: src/USER-LE/fix_ex_unload.cpp).
+
+    Breaks extruder bonds *longer* than ``cutoff`` (note the inverted test
+    vs load, fix_ex_unload.cpp:236) with probability ``fraction``."""
+
+    nevery: int
+    btype: int
+    cutoff: float
+    fraction: float = 1.0
+    seed: int = 12345
+    phase: int = 2
+    group: Optional[str] = None
