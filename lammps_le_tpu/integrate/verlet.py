@@ -1,0 +1,328 @@
+"""The per-step driver: velocity-Verlet + fixes, compiled once, scanned.
+
+This is the TPU-native replacement for ``Verlet::run`` (reference:
+src/verlet.cpp:223-354).  The reference's per-step sequence
+
+    initial_integrate -> post_integrate (USER-LE fixes)
+    -> comm / neighbor rebuild -> force_clear -> pair + bond compute
+    -> reverse_comm -> post_force (langevin) -> final_integrate -> output
+
+maps to one pure ``step(state) -> state`` with:
+* no communication stages at all on a single chip (ghosts don't exist);
+* neighbor rebuild on a static cadence via ``lax.cond`` instead of the
+  data-dependent ``Neighbor::decide`` (src/neighbor.cpp:1933-1962) — a
+  sticky half-skin-violation flag provides the safety net;
+* LE fixes gated by ``step % nevery == phase`` conds, preserving the
+  reference's 1/2/3 stagger (SURVEY.md §3.2);
+* topology changes never force a rebuild, because pair exclusions read the
+  live extruder table instead of being baked into the list.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..fixes.config import NVE, Extrusion, ExLoad, ExUnload, Langevin
+from ..fixes.ex_load import make_ex_load_update
+from ..fixes.ex_unload import make_ex_unload_update
+from ..fixes.extrusion import make_extrusion_update
+from ..ops import cells
+from ..ops.forces import compute_forces
+from ..state import FLAG_SKIN_VIOLATION, State, extruder_partner, init_state
+from ..system import System
+
+
+@dataclasses.dataclass(frozen=True)
+class Simulation:
+    """Static run description: system + dt + fixes (the 'input deck')."""
+
+    system: System
+    dt: float
+    fixes: Tuple = ()
+    ex_btype: int = -1  # 1-based bond type of extruder bonds; -1 = none
+
+    def __post_init__(self):
+        if self.ex_btype < 0:
+            bt = -1
+            for f in self.fixes:
+                if isinstance(f, (Extrusion, ExLoad, ExUnload)):
+                    bt = f.btype
+                    break
+            object.__setattr__(self, "ex_btype", bt)
+
+
+class ThermoSample(NamedTuple):
+    step: jax.Array
+    temp: jax.Array
+    epair: jax.Array
+    ebond: jax.Array
+    ke: jax.Array
+    etotal: jax.Array
+    n_extruders: jax.Array
+
+
+def _temperature(state: State, system: System):
+    """LAMMPS-convention temperature: dof = 3N - 3
+    (reference: src/compute_temp.cpp dof_compute)."""
+    masses = jnp.asarray(system.masses, state.v.dtype)
+    m = masses[state.type][:, None]
+    ke2 = jnp.sum(m * state.v * state.v)
+    dof = 3.0 * system.n - 3.0
+    return ke2 / (dof * system.units.boltz), 0.5 * ke2
+
+
+def thermo_row(state: State, system: System) -> ThermoSample:
+    temp, ke = _temperature(state, system)
+    etot = ke + state.epair + state.ebond
+    return ThermoSample(
+        step=state.step,
+        temp=temp,
+        epair=state.epair,
+        ebond=state.ebond,
+        ke=ke,
+        etotal=etot,
+        n_extruders=jnp.sum(state.ex_left >= 0).astype(jnp.int32),
+    )
+
+
+def _force_pass(state: State, sim: Simulation):
+    system = sim.system
+    partner = None
+    ex_l = ex_r = None
+    if sim.ex_btype > 0:
+        partner = extruder_partner(state, system.n)
+        ex_l, ex_r = state.ex_left, state.ex_right
+    fr = compute_forces(
+        state.x,
+        state.type,
+        state.nbr,
+        system,
+        ex_left=ex_l,
+        ex_right=ex_r,
+        ex_btype=sim.ex_btype - 1,
+        ex_partner=partner,
+    )
+    return fr
+
+
+def _maybe_rebuild(state: State, system: System):
+    cfg = system.neighbor
+    if not cfg.use_cells:
+        return state
+
+    def rebuild(st: State) -> State:
+        nbr, fl = cells.build_neighbor_list(st.x, system)
+        return st.replace(nbr=nbr, flags=st.flags | fl)
+
+    def keep(st: State) -> State:
+        # half-skin safety check (reference: Neighbor::check_distance,
+        # src/neighbor.cpp:1948-1962) — sticky flag instead of a rebuild
+        d = cells.minimum_image(st.x - st.nbr.x_ref, system.box_size)
+        maxsq = jnp.max(jnp.sum(d * d, axis=-1))
+        bad = maxsq > (0.5 * cfg.skin) ** 2
+        return st.replace(
+            flags=st.flags
+            | jnp.where(bad, jnp.uint32(FLAG_SKIN_VIOLATION), jnp.uint32(0))
+        )
+
+    return jax.lax.cond(
+        state.step % cfg.rebuild_every == 0, rebuild, keep, state
+    )
+
+
+def make_step(sim: Simulation, groups: Optional[dict] = None):
+    """Compile-ready step(state) -> state."""
+    system = sim.system
+    dt = sim.dt
+    units = system.units
+    dtf = 0.5 * dt * units.ftm2v
+    masses_np = system.masses
+
+    def group_mask(name):
+        if name is None:
+            return None
+        if groups is None or name not in groups:
+            raise KeyError(f"undefined group {name!r}")
+        return jnp.asarray(groups[name], bool)[:, None]
+
+    nve_fixes = [f for f in sim.fixes if isinstance(f, NVE)]
+    langevin_fixes = [f for f in sim.fixes if isinstance(f, Langevin)]
+    event_fixes = [
+        f for f in sim.fixes if isinstance(f, (Extrusion, ExLoad, ExUnload))
+    ]
+    event_updates = []
+    for fid, f in enumerate(event_fixes):
+        if isinstance(f, Extrusion):
+            event_updates.append((f, fid, make_extrusion_update(system, f)))
+        elif isinstance(f, ExLoad):
+            event_updates.append((f, fid, make_ex_load_update(system, f)))
+        elif isinstance(f, ExUnload):
+            event_updates.append((f, fid, make_ex_unload_update(system, f)))
+
+    def step(state: State) -> State:
+        dtype = state.x.dtype
+        step_no = state.step + 1
+        masses = jnp.asarray(masses_np, dtype)
+        m = masses[state.type][:, None]
+
+        # --- initial integrate: half kick + drift (fix_nve.cpp:64-103) ---
+        v = state.v
+        x = state.x
+        for f in nve_fixes:
+            gm = group_mask(f.group)
+            dv = dtf * state.f / m
+            dx = dt * (v + dv)
+            if gm is None:
+                v = v + dv
+                x = x + dx
+            else:
+                v = jnp.where(gm, v + dv, v)
+                x = jnp.where(gm, x + dx, x)
+        x, img = cells.wrap_positions(x, system, state.img)
+        state = state.replace(x=x, v=v, img=img, step=step_no)
+
+        # --- post integrate: LE fixes at their staggered phases ---
+        for f, fid, update in event_updates:
+            fire = (step_no % f.nevery) == f.phase
+            key = jax.random.fold_in(
+                jax.random.fold_in(state.key, step_no), 1000 + fid + f.seed
+            )
+
+            if isinstance(f, Extrusion):
+
+                def do(st, update=update, key=key):
+                    occ = extruder_partner(st, system.n) >= 0
+                    l, r, nm = update(st.x, st.type, st.ex_left, st.ex_right, occ, key)
+                    return st.replace(
+                        ex_left=l, ex_right=r, n_moves=st.n_moves + nm
+                    )
+
+            elif isinstance(f, ExLoad):
+
+                def do(st, update=update, key=key):
+                    occ = extruder_partner(st, system.n) >= 0
+                    l, r, t, nc, fl = update(
+                        st.x, st.type, st.ex_left, st.ex_right, occ, key
+                    )
+                    return st.replace(
+                        ex_left=l,
+                        ex_right=r,
+                        type=t,
+                        n_loads=st.n_loads + nc,
+                        flags=st.flags | fl,
+                    )
+
+            else:  # ExUnload
+
+                def do(st, update=update, key=key):
+                    l, r, nb = update(st.x, st.ex_left, st.ex_right, key)
+                    return st.replace(
+                        ex_left=l, ex_right=r, n_unloads=st.n_unloads + nb
+                    )
+
+            state = jax.lax.cond(fire, do, lambda st: st, state)
+
+        # --- neighbor maintenance ---
+        state = _maybe_rebuild(state, system)
+
+        # --- forces ---
+        fr = _force_pass(state, sim)
+        f_total = fr.f
+
+        # --- post force: langevin drag + uniform noise
+        #     (fix_langevin.cpp:654-674) ---
+        for lid, lf in enumerate(langevin_fixes):
+            gm = group_mask(lf.group)
+            key = jax.random.fold_in(
+                jax.random.fold_in(state.key, step_no), 2000 + lid
+            )
+            t_target = jnp.asarray(lf.t_start, dtype)
+            gamma1 = -m / lf.damp / units.ftm2v
+            gamma2 = (
+                jnp.sqrt(m)
+                * jnp.sqrt(24.0 * units.boltz / (lf.damp * dt) / units.mvv2e)
+                / units.ftm2v
+            ) * jnp.sqrt(t_target)
+            noise = jax.random.uniform(key, state.v.shape, dtype) - 0.5
+            fl = gamma1 * state.v + gamma2 * noise
+            f_total = f_total + (fl if gm is None else jnp.where(gm, fl, 0.0))
+
+        # --- final integrate: half kick (fix_nve.cpp:108-140) ---
+        v = state.v
+        for f in nve_fixes:
+            gm = group_mask(f.group)
+            dv = dtf * f_total / m
+            v = v + dv if gm is None else jnp.where(gm, v + dv, v)
+
+        return state.replace(
+            v=v,
+            f=f_total,
+            epair=fr.epair,
+            ebond=fr.ebond,
+            flags=state.flags | fr.flags,
+        )
+
+    return step
+
+
+def setup(sim: Simulation, state: State) -> State:
+    """Initial neighbor build + force evaluation (Verlet::setup,
+    src/verlet.cpp:87-156)."""
+    system = sim.system
+    x, img = cells.wrap_positions(state.x, system, state.img)
+    state = state.replace(x=x, img=img)
+    if system.neighbor.use_cells:
+        nbr, fl = cells.build_neighbor_list(state.x, system)
+        state = state.replace(nbr=nbr, flags=state.flags | fl)
+    fr = _force_pass(state, sim)
+    return state.replace(
+        f=fr.f, epair=fr.epair, ebond=fr.ebond, flags=state.flags | fr.flags
+    )
+
+
+def run(
+    sim: Simulation,
+    state: State,
+    nsteps: int,
+    groups: Optional[dict] = None,
+    thermo_every: int = 0,
+    thermo_callback=None,
+):
+    """Drive nsteps, returning (state, list_of_thermo_rows).
+
+    Compiles one segment scan and reuses it; thermo rows are produced at
+    t=0 (post-setup) and every ``thermo_every`` steps, LAMMPS style.
+    """
+    step = make_step(sim, groups)
+    system = sim.system
+
+    @jax.jit
+    def segment(st, length):
+        return jax.lax.fori_loop(0, length, lambda i, s: step(s), st)
+
+    seg = thermo_every if thermo_every > 0 else nsteps
+    rows = []
+
+    if state.nbr is None or True:
+        state = jax.jit(lambda s: setup(sim, s))(state)
+    if thermo_every > 0:
+        row = jax.device_get(thermo_row(state, system))
+        rows.append(row)
+        if thermo_callback:
+            thermo_callback(row)
+
+    done = 0
+    while done < nsteps:
+        this = min(seg, nsteps - done)
+        state = segment(state, this)
+        done += this
+        if thermo_every > 0:
+            row = jax.device_get(thermo_row(state, system))
+            rows.append(row)
+            if thermo_callback:
+                thermo_callback(row)
+    return state, rows

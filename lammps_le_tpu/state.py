@@ -54,6 +54,13 @@ class State:
     key: jax.Array               # PRNG key (threefry), folded per step/substream
     step: jax.Array              # () int32 current timestep
     flags: jax.Array             # () uint32 sticky error bits
+    epair: jax.Array = None      # () pair energy at the last force evaluation
+    ebond: jax.Array = None      # () bond energy at the last force evaluation
+    # LE event counters — the thermo-visible analog of the reference's
+    # breakcount/createcount fix vectors (fix_extrusion.cpp:1496-1501)
+    n_moves: jax.Array = None    # () int32 total extruder shifts
+    n_loads: jax.Array = None    # () int32 total extruders loaded
+    n_unloads: jax.Array = None  # () int32 total extruders unloaded
     nbr: Optional[NeighborList] = None
 
     @property
@@ -95,6 +102,11 @@ def init_state(
         key=jax.random.PRNGKey(seed),
         step=jnp.zeros((), jnp.int32),
         flags=jnp.zeros((), jnp.uint32),
+        epair=jnp.zeros((), dtype),
+        ebond=jnp.zeros((), dtype),
+        n_moves=jnp.zeros((), jnp.int32),
+        n_loads=jnp.zeros((), jnp.int32),
+        n_unloads=jnp.zeros((), jnp.int32),
         nbr=None,
     )
 
