@@ -1,0 +1,92 @@
+"""Input-deck parser: the LAMMPS-command front end.
+
+Replaces the reference's script interpreter (reference: src/input.cpp:181-773
+— line parsing, ``$var`` substitution, command dispatch) for the command
+subset the loop-extrusion workflow uses, so existing decks (bench/in.chain,
+README.md:22-40) map over 1:1.  Commands are parsed into a declarative
+:class:`Deck`; :class:`lammps_le_tpu.deck.runner.DeckRunner` executes them.
+
+Supported commands: units, atom_style, boundary, special_bonds, read_data,
+neighbor, neigh_modify, bond_style, bond_coeff, pair_style, pair_modify,
+pair_coeff, mass, velocity, group, fix (nve / langevin / extrusion /
+ex_load / ex_unload), unfix, timestep, thermo, thermo_style, dump, run,
+write_data, write_restart, read_restart, variable, log, comm_modify (no-op),
+reset_timestep, seed control via variables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import shlex
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class Command:
+    name: str
+    args: List[str]
+    raw: str
+
+
+@dataclasses.dataclass
+class Deck:
+    commands: List[Command]
+
+
+def substitute(line: str, variables: dict) -> str:
+    """``$x`` / ``${name}`` substitution (reference: input.cpp:508)."""
+    out = []
+    i = 0
+    while i < len(line):
+        c = line[i]
+        if c == "$" and i + 1 < len(line):
+            nxt = line[i + 1]
+            if nxt == "{":
+                j = line.index("}", i + 2)
+                name = line[i + 2 : j]
+                out.append(str(variables[name]))
+                i = j + 1
+                continue
+            else:
+                out.append(str(variables[nxt]))
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def parse_deck(text: str, variables: Optional[dict] = None) -> Deck:
+    variables = dict(variables or {})
+    cmds: List[Command] = []
+    pending = ""
+    for rawline in text.splitlines():
+        line = rawline.rstrip("\n")
+        # line continuation
+        if line.endswith("&"):
+            pending += line[:-1] + " "
+            continue
+        line = pending + line
+        pending = ""
+        # strip comments (outside quotes — decks here don't quote '#')
+        hash_pos = line.find("#")
+        if hash_pos >= 0:
+            line = line[:hash_pos]
+        line = line.strip()
+        if not line:
+            continue
+        # variable definition handled at parse time for $-substitution
+        parts = shlex.split(substitute(line, variables))
+        if not parts:
+            continue
+        name, args = parts[0], parts[1:]
+        if name == "variable" and len(args) >= 3 and args[1] in ("equal", "string", "index"):
+            variables[args[0]] = args[2]
+            continue
+        cmds.append(Command(name=name, args=args, raw=line))
+    return Deck(commands=cmds)
+
+
+def parse_file(path: str, variables: Optional[dict] = None) -> Deck:
+    with open(path) as fh:
+        return parse_deck(fh.read(), variables)

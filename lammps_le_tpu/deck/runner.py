@@ -1,0 +1,545 @@
+"""Deck execution: the TPU engine's equivalent of ``Input::execute_command``
+dispatch plus the ``Run`` command (reference: src/input.cpp:689-773,
+src/run.cpp:38-183).
+
+The runner accumulates force-field / fix / output settings, builds the
+static :class:`System` + :class:`Simulation` lazily at the first ``run``,
+and drives the compiled step loop, printing LAMMPS-style thermo tables.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+
+from ..fixes import NVE, Extrusion, ExLoad, ExUnload, Langevin
+from ..integrate import Simulation, run as run_loop, setup, thermo_row
+from ..io.data import read_data, system_from_data
+from ..state import init_state
+from ..system import BondParams, PairLJCut, bond_style_code
+from .parser import Deck, parse_file
+
+
+class DeckError(RuntimeError):
+    pass
+
+
+class DeckRunner:
+    def __init__(self, dtype: str = "float32", root: str = ".",
+                 max_extruders: Optional[int] = None, quiet: bool = False):
+        self.root = root
+        self.dtype = dtype
+        self.quiet = quiet
+        self.units = "lj"
+        self.atom_style = "bond"
+        self.special_lj = (0.0, 1.0, 1.0)
+        self.skin = 0.4
+        self.rebuild_every = 10
+        self.pair_style: Optional[str] = None
+        self.pair_global_cutoff = 1.12
+        self.pair_shift = False
+        self.pair_coeffs: Dict = {}
+        self.bond_style: Optional[str] = None
+        self.bond_styles_by_type: Dict[int, str] = {}
+        self.bond_coeffs: Dict[int, List[float]] = {}
+        self.masses: Dict[int, float] = {}
+        self.dt: Optional[float] = None
+        self.thermo_every = 0
+        self.thermo_columns = ["step", "temp", "epair", "ebond", "etotal"]
+        self.fixes: Dict[str, object] = {}
+        self.groups: Dict[str, np.ndarray] = {}
+        self.velocity_cmds: List = []
+        self.data = None
+        self.max_extruders = max_extruders
+        self.dumps: List = []
+        self.log_fh = None
+
+        self.system = None
+        self.sim = None
+        self.state = None
+        self._dirty = True
+        self.timestep0 = 0
+        self.last_perf: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    def log(self, msg: str):
+        if not self.quiet:
+            print(msg)
+            sys.stdout.flush()
+        if self.log_fh:
+            self.log_fh.write(msg + "\n")
+            self.log_fh.flush()
+
+    def execute(self, deck: Deck):
+        for cmd in deck.commands:
+            self.command(cmd.name, cmd.args, cmd.raw)
+
+    def run_file(self, path: str):
+        self.root = os.path.dirname(os.path.abspath(path))
+        self.execute(parse_file(path))
+
+    # ------------------------------------------------------------------
+    def command(self, name: str, args: List[str], raw: str = ""):
+        handler = getattr(self, f"cmd_{name}", None)
+        if handler is None:
+            noop = {"comm_modify", "comm_style", "atom_modify", "processors",
+                    "suffix", "package", "echo", "info", "shell"}
+            if name in noop:
+                return
+            raise DeckError(f"unsupported command: {raw or name}")
+        handler(args)
+
+    def cmd_units(self, args):
+        self.units = args[0]
+
+    def cmd_atom_style(self, args):
+        if args[0] not in ("bond", "molecular", "angle"):
+            raise DeckError(f"unsupported atom_style {args[0]}")
+        self.atom_style = args[0]
+
+    def cmd_boundary(self, args):
+        if any(a[0] != "p" for a in args):
+            raise DeckError("only fully periodic boundaries are supported")
+
+    def cmd_dimension(self, args):
+        if args[0] != "3":
+            raise DeckError("only 3d is supported")
+
+    def cmd_special_bonds(self, args):
+        if args[0] == "fene":
+            # reference: force.cpp:787-795
+            self.special_lj = (0.0, 1.0, 1.0)
+        elif args[0] == "lj" or args[0] == "lj/coul":
+            self.special_lj = tuple(float(v) for v in args[1:4])
+        else:
+            raise DeckError(f"unsupported special_bonds {args}")
+        self._dirty = True
+
+    def cmd_read_data(self, args):
+        path = os.path.join(self.root, args[0])
+        self.data = read_data(path)
+        self.timestep0 = 0
+        self._dirty = True
+
+    def cmd_neighbor(self, args):
+        self.skin = float(args[0])
+        self._dirty = True
+
+    def cmd_neigh_modify(self, args):
+        # 'every N delay M check yes/no' — static cadence analog
+        it = iter(args)
+        for k in it:
+            if k == "every":
+                self.rebuild_every = max(int(next(it)), 1)
+            elif k in ("delay", "check", "page", "one"):
+                next(it)
+        self._dirty = True
+
+    def cmd_lattice(self, args):
+        pass  # scene generation handled by tools/chain generator
+
+    def cmd_mass(self, args):
+        self.masses[int(args[0])] = float(args[1])
+        self._dirty = True
+
+    def cmd_pair_style(self, args):
+        if args[0] not in ("lj/cut",):
+            raise DeckError(f"unsupported pair_style {args[0]}")
+        self.pair_style = args[0]
+        if len(args) > 1:
+            self.pair_global_cutoff = float(args[1])
+        self._dirty = True
+
+    def cmd_pair_modify(self, args):
+        it = iter(args)
+        for k in it:
+            if k == "shift":
+                self.pair_shift = next(it) == "yes"
+        self._dirty = True
+
+    def cmd_pair_coeff(self, args):
+        ti, tj = args[0], args[1]
+        eps, sig = float(args[2]), float(args[3])
+        rc = float(args[4]) if len(args) > 4 else None
+        self.pair_coeffs[(ti, tj)] = (eps, sig, rc)
+        self._dirty = True
+
+    def cmd_bond_style(self, args):
+        self.bond_style = args[0]
+        self._dirty = True
+
+    def cmd_bond_coeff(self, args):
+        bt = int(args[0])
+        rest = args[1:]
+        if self.bond_style == "hybrid":
+            self.bond_styles_by_type[bt] = rest[0]
+            rest = rest[1:]
+        else:
+            self.bond_styles_by_type[bt] = self.bond_style
+        self.bond_coeffs[bt] = [float(v) for v in rest]
+        self._dirty = True
+
+    def cmd_velocity(self, args):
+        self.velocity_cmds.append(args)
+
+    def cmd_group(self, args):
+        self.velocity_cmds  # groups resolved at build time
+        name, style = args[0], args[1]
+        self.groups[name] = ("pending", style, args[2:])
+
+    def cmd_timestep(self, args):
+        self.dt = float(args[0])
+        self._dirty = True
+
+    def cmd_reset_timestep(self, args):
+        self.timestep0 = int(args[0])
+        if self.state is not None:
+            self.state = self.state.replace(
+                step=jax.numpy.asarray(self.timestep0, jax.numpy.int32)
+            )
+
+    def cmd_thermo(self, args):
+        self.thermo_every = int(args[0])
+
+    def cmd_thermo_style(self, args):
+        self.thermo_columns = args[1:] if args and args[0] == "custom" else args
+
+    def cmd_log(self, args):
+        if self.log_fh:
+            self.log_fh.close()
+        self.log_fh = None
+        if args[0] != "none":
+            self.log_fh = open(os.path.join(self.root, args[0]), "w")
+
+    def cmd_dump(self, args):
+        from ..io.dump import DumpSpec
+
+        did, group, style, every, path = args[0], args[1], args[2], int(args[3]), args[4]
+        fields = args[5:]
+        self.dumps.append(
+            DumpSpec(id=did, style=style, every=every,
+                     path=os.path.join(self.root, path), fields=fields)
+        )
+
+    def cmd_undump(self, args):
+        self.dumps = [d for d in self.dumps if d.id != args[0]]
+
+    def cmd_fix(self, args):
+        fid, group, style = args[0], args[1], args[2]
+        rest = args[3:]
+        g = None if group == "all" else group
+        if style == "nve":
+            fix = NVE(group=g)
+        elif style == "langevin":
+            fix = Langevin(
+                t_start=float(rest[0]), t_stop=float(rest[1]),
+                damp=float(rest[2]), seed=int(rest[3]) if len(rest) > 3 else 12345,
+                group=g,
+            )
+        elif style == "extrusion":
+            # fix loop all extrusion N1 neutral ctcf_l ctcf_r prob btype [ctcf_lr]
+            fix = Extrusion(
+                nevery=int(rest[0]), neutral_type=int(rest[1]),
+                ctcf_left=int(rest[2]), ctcf_right=int(rest[3]),
+                through_prob=float(rest[4]), btype=int(rest[5]),
+                ctcf_left_right=int(rest[6]) if len(rest) > 6 else -1,
+                group=g,
+            )
+        elif style == "ex_load":
+            kw = dict(fraction=1.0, seed=12345, imaxbond=0, inewtype=-1,
+                      jmaxbond=0, jnewtype=-1)
+            i = 5
+            while i < len(rest):
+                k = rest[i]
+                if k == "prob":
+                    kw["fraction"] = float(rest[i + 1]); kw["seed"] = int(rest[i + 2]); i += 3
+                elif k == "iparam":
+                    kw["imaxbond"] = int(rest[i + 1]); kw["inewtype"] = int(rest[i + 2]); i += 3
+                elif k == "jparam":
+                    kw["jmaxbond"] = int(rest[i + 1]); kw["jnewtype"] = int(rest[i + 2]); i += 3
+                else:
+                    raise DeckError(f"unsupported ex_load keyword {k}")
+            fix = ExLoad(
+                nevery=int(rest[0]), iatomtype=int(rest[1]), jatomtype=int(rest[2]),
+                cutoff=float(rest[3]), btype=int(rest[4]), group=g, **kw,
+            )
+        elif style == "ex_unload":
+            kw = dict(fraction=1.0, seed=12345)
+            i = 3
+            while i < len(rest):
+                if rest[i] == "prob":
+                    kw["fraction"] = float(rest[i + 1]); kw["seed"] = int(rest[i + 2]); i += 3
+                else:
+                    raise DeckError(f"unsupported ex_unload keyword {rest[i]}")
+            fix = ExUnload(nevery=int(rest[0]), btype=int(rest[1]),
+                           cutoff=float(rest[2]), group=g, **kw)
+        else:
+            raise DeckError(f"unsupported fix style {style}")
+        self.fixes[fid] = fix
+        self._dirty = True
+
+    def cmd_unfix(self, args):
+        self.fixes.pop(args[0], None)
+        self._dirty = True
+
+    # ------------------------------------------------------------------
+    def _resolve_types(self, spec: str):
+        """'1', '1*3', '*' type selectors -> list of 1-based types."""
+        nt = self.data.n_atom_types
+        out = []
+        if "*" in spec:
+            lo, _, hi = spec.partition("*")
+            lo = int(lo) if lo else 1
+            hi = int(hi) if hi else nt
+            out.extend(range(lo, hi + 1))
+        else:
+            out.append(int(spec))
+        return out
+
+    def _build_pair(self):
+        if self.pair_style is None:
+            return None
+        nt = self.data.n_atom_types
+        eps = np.zeros((nt, nt))
+        sig = np.ones((nt, nt))
+        cut = np.full((nt, nt), self.pair_global_cutoff)
+        for (ti, tj), (e, s, rc) in self.pair_coeffs.items():
+            for a in self._resolve_types(ti):
+                for b in self._resolve_types(tj):
+                    eps[a - 1, b - 1] = eps[b - 1, a - 1] = e
+                    sig[a - 1, b - 1] = sig[b - 1, a - 1] = s
+                    if rc is not None:
+                        cut[a - 1, b - 1] = cut[b - 1, a - 1] = rc
+        return PairLJCut(epsilon=eps, sigma=sig, cutoff=cut, shift=self.pair_shift)
+
+    def _build_bonds(self):
+        if not self.bond_coeffs:
+            return None
+        nbt = self.data.n_bond_types
+        style = np.zeros(nbt, np.int64)
+        coeffs = np.zeros((nbt, 4))
+        for bt, c in self.bond_coeffs.items():
+            style[bt - 1] = bond_style_code(self.bond_styles_by_type[bt])
+            coeffs[bt - 1, : len(c)] = c
+        return BondParams(style=style, coeffs=coeffs)
+
+    def _ex_btype(self):
+        for f in self.fixes.values():
+            if isinstance(f, (Extrusion, ExLoad, ExUnload)):
+                return f.btype
+        return -1
+
+    def _build(self):
+        if self.data is None:
+            raise DeckError("no read_data before run")
+        data = self.data
+        ex_btype = self._ex_btype()
+        n = data.n_atoms
+        max_ex = self.max_extruders
+        if max_ex is None:
+            max_ex = max(16, n // 3 + 2) if ex_btype > 0 else 1
+        masses = data.masses.copy()
+        for t, m in self.masses.items():
+            masses[t - 1] = m
+        data.masses = masses
+        system, ex_pairs = system_from_data(
+            data,
+            pair=self._build_pair(),
+            bonds=self._build_bonds(),
+            special_lj=self.special_lj,
+            units=self.units,
+            ex_btype=ex_btype,
+            max_extruders=max_ex,
+            dtype=self.dtype,
+            skin=self.skin,
+            rebuild_every=self.rebuild_every,
+        )
+        dt = self.dt if self.dt is not None else system.units.dt_default
+        self.system = system
+        self.sim = Simulation(system=system, dt=dt,
+                              fixes=tuple(self.fixes.values()),
+                              ex_btype=ex_btype)
+
+        if self.state is None:
+            self.state = init_state(system, data.x, v=data.v,
+                                    types=data.types, img=data.image)
+            if len(ex_pairs):
+                left = np.full(max_ex, -1, np.int32)
+                right = np.full(max_ex, -1, np.int32)
+                left[: len(ex_pairs)] = ex_pairs[:, 0]
+                right[: len(ex_pairs)] = ex_pairs[:, 1]
+                self.state = self.state.replace(
+                    ex_left=jax.numpy.asarray(left),
+                    ex_right=jax.numpy.asarray(right),
+                )
+            self.state = self.state.replace(
+                step=jax.numpy.asarray(self.timestep0, jax.numpy.int32)
+            )
+            self._apply_velocity_cmds()
+        self._dirty = False
+
+    def _apply_velocity_cmds(self):
+        for args in self.velocity_cmds:
+            group, style = args[0], args[1]
+            if style != "create":
+                raise DeckError(f"unsupported velocity style {style}")
+            t_target, seed = float(args[2]), int(args[3])
+            rng = np.random.default_rng(seed)
+            n = self.system.n
+            masses = np.asarray(self.system.masses)[np.asarray(self.state.type)]
+            v = rng.normal(size=(n, 3)) / np.sqrt(masses)[:, None]
+            v -= (v * masses[:, None]).sum(0) / masses.sum()  # zero momentum
+            ke2 = float((masses[:, None] * v * v).sum())
+            t_now = ke2 / ((3 * n - 3) * self.system.units.boltz)
+            v *= np.sqrt(t_target / t_now)
+            self.state = self.state.replace(
+                v=jax.numpy.asarray(v, self.state.v.dtype)
+            )
+        self.velocity_cmds = []
+
+    # ------------------------------------------------------------------
+    def cmd_run(self, args):
+        nsteps = int(args[0])
+        if self._dirty or self.sim is None:
+            self._build()
+        self._apply_velocity_cmds()
+
+        groups = self._resolved_groups()
+        names = {"step": "Step", "temp": "Temp", "epair": "E_pair",
+                 "ebond": "E_mol", "etotal": "TotEng", "ke": "KinEng",
+                 "n_extruders": "Extruders"}
+        cols = [c for c in ("step", "temp", "epair", "ebond", "etotal",
+                            "n_extruders")]
+        self.log(" ".join(f"{names[c]:>12}" for c in cols))
+
+        # lj units normalize extensive thermo per atom (LAMMPS thermo_modify
+        # norm default, reference: src/thermo.cpp lj-units convention)
+        norm = 1.0 / self.system.n if self.units == "lj" else 1.0
+        extensive = {"epair", "ebond", "etotal", "ke"}
+
+        def emit(row):
+            vals = row._asdict()
+            txt = []
+            for c in cols:
+                v = vals[c]
+                if c in ("step", "n_extruders"):
+                    txt.append(f"{int(v):>12d}")
+                else:
+                    fv = float(v) * (norm if c in extensive else 1.0)
+                    txt.append(f"{fv:>12.6g}")
+            self.log(" ".join(txt))
+
+        from ..io.dump import run_with_dumps
+
+        t0 = time.perf_counter()
+        if self.dumps:
+            self.state, rows = run_with_dumps(
+                self.sim, self.state, nsteps, self.dumps, groups=groups,
+                thermo_every=self.thermo_every, thermo_callback=emit,
+            )
+        else:
+            self.state, rows = run_loop(
+                self.sim, self.state, nsteps, groups=groups,
+                thermo_every=self.thermo_every, thermo_callback=emit,
+            )
+        jax.block_until_ready(self.state.x)
+        dt_wall = time.perf_counter() - t0
+        n = self.system.n
+        rate = nsteps / dt_wall if dt_wall > 0 else float("inf")
+        self.last_perf = {
+            "steps": nsteps,
+            "wall_s": dt_wall,
+            "steps_per_s": rate,
+            "bead_steps_per_s": rate * n,
+        }
+        self.log(f"Loop time of {dt_wall:.6g} on 1 chip for {nsteps} steps "
+                 f"with {n} atoms")
+        self.log(f"Performance: {rate:.3f} timesteps/s, "
+                 f"{rate * n / 1e6:.3f} M bead-steps/s")
+        flags = int(self.state.flags)
+        if flags:
+            self.log(f"WARNING: sticky flags set: {flags:#x} "
+                     "(see lammps_le_tpu.state FLAG_*)")
+
+    def _resolved_groups(self):
+        out = {}
+        for name, spec in self.groups.items():
+            if isinstance(spec, np.ndarray):
+                out[name] = spec
+                continue
+            _, style, rest = spec
+            n = self.data.n_atoms
+            mask = np.zeros(n, bool)
+            if style == "type":
+                types = np.asarray(self.state.type) if self.state is not None \
+                    else self.data.types
+                for s in rest:
+                    for t in self._resolve_types(s):
+                        mask |= types == (t - 1)
+            elif style == "id":
+                for s in rest:
+                    if ":" in s:
+                        lo, hi = s.split(":")
+                        mask[int(lo) - 1 : int(hi)] = True
+                    else:
+                        mask[int(s) - 1] = True
+            else:
+                raise DeckError(f"unsupported group style {style}")
+            out[name] = mask
+        return out
+
+    def cmd_write_data(self, args):
+        from ..io.data import DataFile, write_data
+
+        st = self.state
+        data = self.data
+        x = np.asarray(st.x)
+        bonds = []
+        nxt = self.system.next_bead
+        bt = self.system.backbone_type
+        for i in range(self.system.n):
+            if nxt[i] >= 0:
+                bonds.append((bt[i], i, nxt[i]))
+        exl = np.asarray(st.ex_left)
+        exr = np.asarray(st.ex_right)
+        ex_btype = self._ex_btype()
+        for l, r in zip(exl, exr):
+            if l >= 0:
+                bonds.append((ex_btype - 1, l, r))
+        out = DataFile(
+            n_atoms=self.system.n,
+            n_bonds=len(bonds),
+            n_atom_types=data.n_atom_types,
+            n_bond_types=data.n_bond_types,
+            box_lo=self.system.box_lo,
+            box_hi=self.system.box_hi,
+            masses=np.asarray(self.system.masses),
+            x=x,
+            v=np.asarray(st.v),
+            types=np.asarray(st.type),
+            molecule=self.system.molecule,
+            image=np.asarray(st.img),
+            bonds=np.asarray(bonds, np.int64).reshape(-1, 3),
+        )
+        write_data(os.path.join(self.root, args[0]), out)
+
+    def cmd_write_restart(self, args):
+        from ..io.checkpoint import save_checkpoint
+
+        if self.sim is None:
+            self._build()
+        save_checkpoint(os.path.join(self.root, args[0]), self.state)
+
+    def cmd_read_restart(self, args):
+        from ..io.checkpoint import load_checkpoint
+
+        if self.sim is None or self._dirty:
+            self._build()
+        self.state = load_checkpoint(os.path.join(self.root, args[0]),
+                                     like=self.state)

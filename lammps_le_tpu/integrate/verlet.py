@@ -109,13 +109,21 @@ def _force_pass(state: State, sim: Simulation):
     return fr
 
 
+def _build_nbr(x, system: System):
+    if system.neighbor.mode == "grid":
+        from ..ops.grid import build_grid
+
+        return build_grid(x, system)
+    return cells.build_neighbor_list(x, system)
+
+
 def _maybe_rebuild(state: State, system: System):
     cfg = system.neighbor
     if not cfg.use_cells:
         return state
 
     def rebuild(st: State) -> State:
-        nbr, fl = cells.build_neighbor_list(st.x, system)
+        nbr, fl = _build_nbr(st.x, system)
         return st.replace(nbr=nbr, flags=st.flags | fl)
 
     def keep(st: State) -> State:
@@ -276,12 +284,41 @@ def setup(sim: Simulation, state: State) -> State:
     x, img = cells.wrap_positions(state.x, system, state.img)
     state = state.replace(x=x, img=img)
     if system.neighbor.use_cells:
-        nbr, fl = cells.build_neighbor_list(state.x, system)
+        nbr, fl = _build_nbr(state.x, system)
         state = state.replace(nbr=nbr, flags=state.flags | fl)
     fr = _force_pass(state, sim)
     return state.replace(
         f=fr.f, epair=fr.epair, ebond=fr.ebond, flags=state.flags | fr.flags
     )
+
+
+# Compiled segment cache: one entry per (Simulation, group-set) so repeated
+# ``run`` commands and thermo segments never recompile (the analog of the
+# reference building its integrator once per run setup, run.cpp:178).
+_SEGMENT_CACHE: dict = {}
+
+
+def _compiled(sim: Simulation, groups: Optional[dict]):
+    gkey = None
+    if groups:
+        gkey = tuple(
+            (k, v.tobytes() if hasattr(v, "tobytes") else tuple(v))
+            for k, v in sorted(groups.items())
+        )
+    key = (id(sim), gkey)
+    hit = _SEGMENT_CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+    step = make_step(sim, groups)
+
+    @jax.jit
+    def segment(st, length):
+        return jax.lax.fori_loop(0, length, lambda i, s: step(s), st)
+
+    setup_fn = jax.jit(lambda s: setup(sim, s))
+    # keep `sim` alive in the value so the id() key can't be reused
+    _SEGMENT_CACHE[key] = (segment, setup_fn, sim)
+    return segment, setup_fn
 
 
 def run(
@@ -294,21 +331,17 @@ def run(
 ):
     """Drive nsteps, returning (state, list_of_thermo_rows).
 
-    Compiles one segment scan and reuses it; thermo rows are produced at
-    t=0 (post-setup) and every ``thermo_every`` steps, LAMMPS style.
+    Compiles one segment scan per Simulation and reuses it; thermo rows are
+    produced at t=0 (post-setup) and every ``thermo_every`` steps.
     """
-    step = make_step(sim, groups)
     system = sim.system
-
-    @jax.jit
-    def segment(st, length):
-        return jax.lax.fori_loop(0, length, lambda i, s: step(s), st)
+    segment, setup_fn = _compiled(sim, groups)
 
     seg = thermo_every if thermo_every > 0 else nsteps
     rows = []
 
-    if state.nbr is None or True:
-        state = jax.jit(lambda s: setup(sim, s))(state)
+    # normalize pytree structure (nbr dropped) so setup/segment compile once
+    state = setup_fn(state.replace(nbr=None))
     if thermo_every > 0:
         row = jax.device_get(thermo_row(state, system))
         rows.append(row)

@@ -46,7 +46,12 @@ def compute_forces(
 
     if system.pair is not None:
         if nbr is not None and system.neighbor.use_cells:
-            fp, epair = pair_ops.lj_force_nbr(x, types, nbr, system, ex_partner)
+            from .grid import CellGrid, grid_pair_force
+
+            if isinstance(nbr, CellGrid):
+                fp, epair = grid_pair_force(x, types, nbr, system, ex_partner)
+            else:
+                fp, epair = pair_ops.lj_force_nbr(x, types, nbr, system, ex_partner)
         else:
             fp, epair = pair_ops.lj_force_bruteforce(x, types, system, ex_partner)
         f = f + fp

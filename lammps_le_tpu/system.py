@@ -56,6 +56,9 @@ class NeighborConfig:
     max_neighbors: int = 32        # verlet list width (full list, both i<j and i>j)
     rebuild_every: int = 10
     use_cells: bool = True         # False => O(N^2) bruteforce (small systems)
+    # 'grid' = dense cell-grid stencil (TPU-native, no big gathers);
+    # 'verlet' = compacted (N, K) list (CPU/testing reference path)
+    mode: str = "grid"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,6 +151,7 @@ def make_neighbor_config(
     cell_cap: int = 8,
     max_neighbors: int = 32,
     rebuild_every: int = 10,
+    mode: str = "grid",
 ) -> NeighborConfig:
     """Choose a static cell grid for the box.
 
@@ -172,6 +176,7 @@ def make_neighbor_config(
         max_neighbors=max_neighbors,
         rebuild_every=rebuild_every,
         use_cells=use_cells,
+        mode=mode,
     )
 
 
@@ -213,16 +218,26 @@ def build_system(
     special_lj=(0.0, 1.0, 1.0),
     units: str = "lj",
     skin: float = 0.4,
-    cell_cap: int = 8,
+    cell_cap: Optional[int] = None,
     max_neighbors: int = 32,
     rebuild_every: int = 10,
     max_extruders: int = 0,
     dtype: str = "float32",
+    neighbor_mode: str = "grid",
 ) -> System:
     box_lo = tuple(float(v) for v in box_lo)
     box_hi = tuple(float(v) for v in box_hi)
     box_size = tuple(h - l for l, h in zip(box_lo, box_hi))
     max_cut = pair.max_cutoff if pair is not None else 1.0
+    if cell_cap is None:
+        # ~4x the mean occupancy of a (cutoff+skin) cell, floor of 8 —
+        # overflow is flagged, never silent
+        vol = (max_cut + skin) ** 3
+        density = n / (box_size[0] * box_size[1] * box_size[2])
+        cell_cap = max(8, int(np.ceil(4.0 * density * vol)))
+    if neighbor_mode == "grid" and (special_lj[1] != 1.0 or special_lj[2] != 1.0):
+        # grid path applies only 1-2 special weights; fall back otherwise
+        neighbor_mode = "verlet"
     ncfg = make_neighbor_config(
         box_size,
         max_cut,
@@ -230,6 +245,7 @@ def build_system(
         cell_cap=cell_cap,
         max_neighbors=max_neighbors,
         rebuild_every=rebuild_every,
+        mode=neighbor_mode,
     )
     return System(
         n=int(n),

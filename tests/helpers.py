@@ -100,6 +100,46 @@ def fene_harmonic_bonds(k1=30.0, r0_1=1.5, eps=1.0, sig=1.0, k2=10.0, r0_2=1.0):
     return BondParams(style=style, coeffs=coeffs)
 
 
+def relaxed_chain_system(
+    n_chains=2,
+    chain_len=20,
+    box_l=24.0,
+    seed=0,
+    dtype="float64",
+    jitter=0.03,
+    **kw,
+):
+    """Near-equilibrium straight chains (no overlaps): safe for NVE tests."""
+    rng = np.random.default_rng(seed)
+    nxt, prv, mol, btype = chain_topology([chain_len] * n_chains)
+    n = n_chains * chain_len
+    x = np.zeros((n, 3))
+    for c in range(n_chains):
+        idx = np.arange(c * chain_len, (c + 1) * chain_len)
+        x[idx, 0] = 1.0 + 0.97 * np.arange(chain_len)
+        x[idx, 1] = 2.0 + 2.0 * c
+        x[idx, 2] = box_l / 2
+    x += rng.normal(scale=jitter, size=x.shape)
+    kw.setdefault("cell_cap", 16)
+    kw.setdefault("max_neighbors", 48)
+    system = build_system(
+        n=n,
+        n_types=1,
+        box_lo=(0, 0, 0),
+        box_hi=(box_l, box_l, box_l),
+        next_bead=nxt,
+        prev_bead=prv,
+        molecule=mol,
+        backbone_type=btype,
+        masses=np.ones(1),
+        pair=kw.pop("pair", None) or lj_pair_params(1),
+        bonds=kw.pop("bonds", None) or fene_bonds(1),
+        dtype=dtype,
+        **kw,
+    )
+    return system, x
+
+
 def random_chain_system(
     n_chains=4,
     chain_len=25,

@@ -58,6 +58,46 @@ def test_lj_cell_list_matches_bruteforce(chain_sys):
     np.testing.assert_allclose(float(e_nbr), float(e_bf), rtol=1e-12)
 
 
+def test_grid_pair_matches_bruteforce(chain_sys):
+    from lammps_le_tpu.ops import grid as grid_ops
+
+    system, x = chain_sys
+    types = jnp.zeros(system.n, jnp.int32)
+    xj = jnp.asarray(x)
+    g, fl = grid_ops.build_grid(xj, system)
+    assert int(fl) == 0
+    f_g, e_g = grid_ops.grid_pair_force(xj, types, g, system)
+    f_b, e_b = pair_ops.lj_force_bruteforce(xj, types, system)
+    scale = float(jnp.abs(f_b).max())
+    np.testing.assert_allclose(np.asarray(f_g), np.asarray(f_b),
+                               atol=1e-10 * max(scale, 1.0))
+    np.testing.assert_allclose(float(e_g), float(e_b), rtol=1e-12)
+
+
+def test_grid_pair_excludes_extruder_partners(chain_sys):
+    from lammps_le_tpu.ops import grid as grid_ops
+    from lammps_le_tpu.state import extruder_partner, init_state
+
+    system, x = chain_sys
+    x = x.copy()
+    x[30] = x[2] + np.array([0.9, 0.0, 0.0])
+    state = init_state(system, x)
+    state = state.replace(
+        ex_left=jnp.asarray([2], jnp.int32),
+        ex_right=jnp.asarray([30], jnp.int32),
+    )
+    partner = extruder_partner(state, system.n)
+    types = jnp.zeros(system.n, jnp.int32)
+    xj = jnp.asarray(x)
+    g, _ = grid_ops.build_grid(xj, system)
+    f_g, e_g = grid_ops.grid_pair_force(xj, types, g, system, ex_partner=partner)
+    f_b, e_b = pair_ops.lj_force_bruteforce(xj, types, system, ex_partner=partner)
+    scale = float(jnp.abs(f_b).max())
+    np.testing.assert_allclose(np.asarray(f_g), np.asarray(f_b),
+                               atol=1e-10 * max(scale, 1.0))
+    np.testing.assert_allclose(float(e_g), float(e_b), rtol=1e-12)
+
+
 def test_cell_list_valid_after_skin_motion(chain_sys):
     """Pairs entering the cutoff after sub-half-skin motion are still found."""
     system, x = chain_sys
