@@ -236,6 +236,10 @@ class DeckRunner:
         g = None if group == "all" else group
         if style == "nve":
             fix = NVE(group=g)
+        elif style == "nve/limit":
+            from ..fixes import NVELimit
+
+            fix = NVELimit(xmax=float(rest[0]), group=g)
         elif style == "langevin":
             fix = Langevin(
                 t_start=float(rest[0]), t_stop=float(rest[1]),

@@ -1,1 +1,8 @@
-from .config import NVE, Extrusion, ExLoad, ExUnload, Langevin  # noqa: F401
+from .config import (  # noqa: F401
+    NVE,
+    Extrusion,
+    ExLoad,
+    ExUnload,
+    Langevin,
+    NVELimit,
+)

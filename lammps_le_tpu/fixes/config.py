@@ -20,6 +20,16 @@ class NVE:
 
 
 @dataclasses.dataclass(frozen=True)
+class NVELimit:
+    """``fix nve/limit`` — velocity Verlet with a per-step displacement cap
+    (reference: src/fix_nve_limit.cpp).  Used to push off overlapping
+    random-walk initial states."""
+
+    xmax: float
+    group: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
 class Langevin:
     """``fix langevin`` — drag + uniform noise POST_FORCE thermostat
     (reference: src/fix_langevin.cpp:654-674; non-GJF default with

@@ -26,7 +26,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..fixes.config import NVE, Extrusion, ExLoad, ExUnload, Langevin
+from ..fixes.config import NVE, Extrusion, ExLoad, ExUnload, Langevin, NVELimit
 from ..fixes.ex_load import make_ex_load_update
 from ..fixes.ex_unload import make_ex_unload_update
 from ..fixes.extrusion import make_extrusion_update
@@ -157,7 +157,7 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
             raise KeyError(f"undefined group {name!r}")
         return jnp.asarray(groups[name], bool)[:, None]
 
-    nve_fixes = [f for f in sim.fixes if isinstance(f, NVE)]
+    nve_fixes = [f for f in sim.fixes if isinstance(f, (NVE, NVELimit))]
     langevin_fixes = [f for f in sim.fixes if isinstance(f, Langevin)]
     event_fixes = [
         f for f in sim.fixes if isinstance(f, (Extrusion, ExLoad, ExUnload))
@@ -183,12 +183,21 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
         for f in nve_fixes:
             gm = group_mask(f.group)
             dv = dtf * state.f / m
-            dx = dt * (v + dv)
+            vh = v + dv
+            if isinstance(f, NVELimit):
+                # cap the per-step displacement (fix_nve_limit.cpp)
+                vsq = jnp.sum(vh * vh, axis=-1, keepdims=True)
+                vmax = f.xmax / dt
+                scale = jnp.where(
+                    vsq > vmax * vmax, vmax / jnp.sqrt(vsq), jnp.ones_like(vsq)
+                )
+                vh = vh * scale
+            dx = dt * vh
             if gm is None:
-                v = v + dv
+                v = vh
                 x = x + dx
             else:
-                v = jnp.where(gm, v + dv, v)
+                v = jnp.where(gm, vh, v)
                 x = jnp.where(gm, x + dx, x)
         x, img = cells.wrap_positions(x, system, state.img)
         state = state.replace(x=x, v=v, img=img, step=step_no)
@@ -264,7 +273,15 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
         for f in nve_fixes:
             gm = group_mask(f.group)
             dv = dtf * f_total / m
-            v = v + dv if gm is None else jnp.where(gm, v + dv, v)
+            vn = v + dv
+            if isinstance(f, NVELimit):
+                vsq = jnp.sum(vn * vn, axis=-1, keepdims=True)
+                vmax = f.xmax / dt
+                scale = jnp.where(
+                    vsq > vmax * vmax, vmax / jnp.sqrt(vsq), jnp.ones_like(vsq)
+                )
+                vn = vn * scale
+            v = vn if gm is None else jnp.where(gm, vn, v)
 
         return state.replace(
             v=v,

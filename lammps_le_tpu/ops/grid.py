@@ -1,23 +1,31 @@
 """Dense cell-grid pair computation — the TPU-native neighbor backend.
 
-Instead of ragged neighbor lists (reference: src/npair_half_bin_newton.cpp)
-or even compacted verlet lists, beads are packed into a dense
-``(nx, ny, nz, cap)`` slot grid at rebuild time.  The 27-cell stencil then
-becomes 27 static ``jnp.roll``s of the grid — pure slice/concat ops — and
-every pair interaction is evaluated as a dense ``(cells, cap, cap)``
-broadcast on the VPU.  The per-step hot path performs only O(cells*cap)
-flat gathers (position/type refresh) and one scatter-add (forces back to
-bead order); there are no (N, K, 3) row gathers at all, which on TPU are
-the dominant cost of list-based approaches.
+Beads are packed into a dense ``(cap, P)`` slot grid at rebuild time, where
+``P`` is the *halo-padded* flat cell count: the 3-D cell grid is surrounded
+by one layer of ghost cells that duplicate the periodically-wrapped source
+cells (the on-device analog of the reference's ghost-atom halo,
+src/comm_brick.cpp:700 ``borders()`` — except here the "communication" is a
+rebuild-time index duplication and costs nothing per step).
 
-Correctness notes:
-* ``jnp.roll`` wraps periodically, exactly matching periodic cells; the
-  minimum-image distance handles the coordinate jump.
-* Between rebuilds beads stay in their rebuild-time cells; the standard
-  half-skin argument (reference: src/neighbor.cpp:1948-1962) guarantees no
-  missed pairs, monitored by the sticky skin flag.
-* Slot overflow (cell fuller than ``cap``) drops beads from the pair grid
-  and raises FLAG_CELL_OVERFLOW — never silent.
+With halo cells present, the 27-cell stencil becomes 27 *static shifts of
+the flat minor axis* — pure slice/concat ops with perfect lane utilization
+(P is padded to a multiple of 128).  Pair interactions are evaluated as
+dense ``(cap_i, cap_j, P)`` broadcasts on the VPU; XLA fuses the whole
+per-offset chain into one pass over the (cap, P) inputs.
+
+Why not ``jnp.roll`` on an (nx, ny, nz, cap) grid: TPU tiles pad the two
+minor dims to (8, 128), so any (..., cap, cap) intermediate wastes ~10x
+memory bandwidth.  The flat-minor layout keeps every tensor lane-dense.
+
+Correctness:
+* halo cells are masked as i-atoms (their slots alias interior beads, so
+  counting them would double forces) and serve only as j-neighbors;
+* minimum-image wrapping of distances makes coordinate duplication (rather
+  than shifted copies) sufficient;
+* between rebuilds beads stay in their rebuild cells — the half-skin
+  argument (reference: src/neighbor.cpp:1948-1962), monitored by the sticky
+  skin flag;
+* slot overflow raises FLAG_CELL_OVERFLOW, never silent.
 """
 
 from __future__ import annotations
@@ -40,20 +48,72 @@ _OFFSETS = [
 
 @struct.dataclass
 class CellGrid:
-    """Rebuild-time bead->slot assignment plus static per-slot metadata."""
+    """Rebuild-time bead->slot assignment plus static per-slot metadata.
 
-    slot_bead: jax.Array   # (nx, ny, nz, cap) int32 bead id, N = empty
-    nxt: jax.Array         # (nx, ny, nz, cap) int32 bead id of chain next (-1 none)
-    prv: jax.Array         # (nx, ny, nz, cap) int32 chain prev
-    x_ref: jax.Array       # (N, 3) positions at rebuild (skin check)
+    All arrays are (cap, P) with the flat halo-padded cell axis minor.
+    ``slot_bead`` holds bead ids (N = empty); ``scatter_bead`` is the same
+    with halo slots masked to N (safe scatter targets).
+    """
+
+    slot_bead: jax.Array     # (cap, P) int32
+    scatter_bead: jax.Array  # (cap, P) int32, halo -> N
+    nxt: jax.Array           # (cap, P) int32 chain-next bead id (-1 none)
+    prv: jax.Array           # (cap, P) int32 chain-prev bead id
+    x_ref: jax.Array         # (N, 3) positions at rebuild (skin check)
+
+
+def _halo_maps(system: System):
+    """Static numpy maps for the halo-padded flat grid.
+
+    Returns (src_cell, interior, P, strides): ``src_cell[p]`` is the source
+    interior cell (flat, unpadded) each padded cell duplicates; ``interior``
+    marks non-halo cells.  Cached on first use per neighbor config.
+    """
+    cfg = system.neighbor
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    px, py, pz = nx + 2, ny + 2, nz + 2
+    p_raw = px * py * pz
+    p = -(-p_raw // 128) * 128  # pad to lane multiple
+    ix, iy, iz = np.meshgrid(
+        np.arange(px), np.arange(py), np.arange(pz), indexing="ij"
+    )
+    sx = (ix - 1) % nx
+    sy = (iy - 1) % ny
+    sz = (iz - 1) % nz
+    src = ((sx * ny + sy) * nz + sz).reshape(-1)
+    interior = (
+        (ix >= 1) & (ix <= nx) & (iy >= 1) & (iy <= ny) & (iz >= 1) & (iz <= nz)
+    ).reshape(-1)
+    src_p = np.zeros(p, np.int32)
+    src_p[:p_raw] = src
+    int_p = np.zeros(p, bool)
+    int_p[:p_raw] = interior
+    # cells in the lane-padding tail keep src 0 but are non-interior and
+    # their j-contributions are masked via bead ids below.
+    strides = (py * pz, pz, 1)
+    return src_p, int_p, p, strides
+
+
+_HALO_CACHE: dict = {}
+
+
+def halo_maps(system: System):
+    key = (system.neighbor.nx, system.neighbor.ny, system.neighbor.nz)
+    hit = _HALO_CACHE.get(key)
+    if hit is None:
+        hit = _halo_maps(system)
+        _HALO_CACHE[key] = hit
+    return hit
 
 
 def build_grid(x: jax.Array, system: System):
-    """Pack beads into the slot grid (one argsort + one scatter)."""
+    """Pack beads into the halo-padded slot grid (argsort + scatter + dup)."""
     cfg = system.neighbor
     n = system.n
     nx, ny, nz, cap = cfg.nx, cfg.ny, cfg.nz, cfg.cell_cap
     ncells = nx * ny * nz
+    src, interior, p, _ = halo_maps(system)
+
     c3 = cell_coords(x, system)
     cid = (c3[:, 0] * ny + c3[:, 1]) * nz + c3[:, 2]
     order = jnp.argsort(cid).astype(jnp.int32)
@@ -64,7 +124,12 @@ def build_grid(x: jax.Array, system: System):
     rank = idx - start_idx
     flat = jnp.full((ncells * cap,), n, jnp.int32)
     flat = flat.at[scid * cap + rank].set(order, mode="drop")
-    slot_bead = flat.reshape(nx, ny, nz, cap)
+    base = flat.reshape(ncells, cap).T            # (cap, ncells)
+    slot_bead = base[:, jnp.asarray(src)]         # (cap, P) halo duplication
+    # halo j-slots in the pure padding tail must be empty
+    int_j = jnp.asarray(interior)
+    scatter_bead = jnp.where(int_j[None, :], slot_bead, n)
+
     overflow = jnp.where(
         jnp.max(rank) >= cap, jnp.uint32(FLAG_CELL_OVERFLOW), jnp.uint32(0)
     )
@@ -76,11 +141,22 @@ def build_grid(x: jax.Array, system: System):
     )
     grid = CellGrid(
         slot_bead=slot_bead,
+        scatter_bead=scatter_bead,
         nxt=nxt_pad[slot_bead],
         prv=prv_pad[slot_bead],
         x_ref=x,
     )
     return grid, overflow
+
+
+def _shift(a: jax.Array, delta: int, fill):
+    """Static shift along the minor axis: out[..., c] = a[..., c + delta]."""
+    if delta == 0:
+        return a
+    pad = jnp.full(a.shape[:-1] + (abs(delta),), fill, a.dtype)
+    if delta > 0:
+        return jnp.concatenate([a[..., delta:], pad], axis=-1)
+    return jnp.concatenate([pad, a[..., :delta]], axis=-1)
 
 
 def grid_pair_force(
@@ -93,25 +169,25 @@ def grid_pair_force(
     """LJ forces + energy from the slot grid.  Returns (f_beads, epair)."""
     dtype = x.dtype
     n = system.n
-    cfg = system.neighbor
     tables = _lj_tables(system, dtype)
     lj1, lj2, lj3, lj4, cutsq, offset_e = tables
     nt = lj1.shape[0]
+    one_type = nt == 1
     s12 = jnp.asarray(system.special_lj[0], dtype)
+    _, _, _, strides = halo_maps(system)
 
-    slot = grid.slot_bead                      # (nx,ny,nz,cap)
-    # per-step slot refresh: flat gathers from bead arrays (cheap)
-    xp = jnp.concatenate([x, jnp.zeros((1, 3), dtype)])
-    tp = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)])
+    slot = grid.slot_bead                      # (cap, P)
+    far = jnp.asarray(1.0e4, dtype)
+    xp = jnp.concatenate([x, jnp.full((1, 3), far, dtype)])
     gx = xp[slot, 0]
     gy = xp[slot, 1]
     gz = xp[slot, 2]
-    gt = tp[slot]
+    if not one_type:
+        tp = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)])
+        gt = tp[slot]
     if ex_partner is not None:
         epp = jnp.concatenate([ex_partner, jnp.full((1,), -1, jnp.int32)])
         gep = epp[slot]
-    else:
-        gep = None
     gid = slot
     gnxt = grid.nxt
     gprv = grid.prv
@@ -126,29 +202,25 @@ def grid_pair_force(
     fz = jnp.zeros_like(gz)
     e_acc = jnp.zeros_like(gx)
 
-    # i-slots broadcast on axis -2, j-slots on axis -1
-    gxi = gx[..., :, None]
-    gyi = gy[..., :, None]
-    gzi = gz[..., :, None]
-    gti = gt[..., :, None]
-    gidi = gid[..., :, None]
-    gnxti = gnxt[..., :, None]
-    gprvi = gprv[..., :, None]
-    gepi = gep[..., :, None] if gep is not None else None
+    # i-side broadcast views: (cap_i, 1, P)
+    gxi = gx[:, None, :]
+    gyi = gy[:, None, :]
+    gzi = gz[:, None, :]
+    gidi = gid[:, None, :]
+    gnxti = gnxt[:, None, :]
+    gprvi = gprv[:, None, :]
     valid_i = gidi != n
+    if not one_type:
+        gti = gt[:, None, :]
+    if ex_partner is not None:
+        gepi = gep[:, None, :]
 
-    for off in _OFFSETS:
-        ax = tuple(a for a, o in zip((0, 1, 2), off) if o != 0)
-        sh = tuple(o for o in off if o != 0)
-        if ax:
-            r = lambda a: jnp.roll(a, sh, axis=ax)
-        else:
-            r = lambda a: a
-        gxj = r(gx)[..., None, :]
-        gyj = r(gy)[..., None, :]
-        gzj = r(gz)[..., None, :]
-        gtj = r(gt)[..., None, :]
-        gidj = r(gid)[..., None, :]
+    for (dx_c, dy_c, dz_c) in _OFFSETS:
+        delta = dx_c * strides[0] + dy_c * strides[1] + dz_c * strides[2]
+        gxj = _shift(gx, delta, far)[None, :, :]
+        gyj = _shift(gy, delta, far)[None, :, :]
+        gzj = _shift(gz, delta, far)[None, :, :]
+        gidj = _shift(gid, delta, n)[None, :, :]
 
         dx = min1(gxi - gxj, box[0])
         dy = min1(gyi - gyj, box[1])
@@ -158,39 +230,56 @@ def grid_pair_force(
         mask = valid_i & (gidj != n) & (gidi != gidj)
         # special 1-2: backbone neighbors + extruder partner
         is12 = (gidj == gnxti) | (gidj == gprvi)
-        if gepi is not None:
+        if ex_partner is not None:
             is12 = is12 | (gidj == gepi)
-        w = jnp.where(is12, s12, jnp.ones_like(rsq))
 
-        ti = gti
-        tj = gtj
-        pairidx = ti * nt + tj
-        l1 = jnp.take(lj1.ravel(), pairidx)
-        l2 = jnp.take(lj2.ravel(), pairidx)
-        l3 = jnp.take(lj3.ravel(), pairidx)
-        l4 = jnp.take(lj4.ravel(), pairidx)
-        csq = jnp.take(cutsq.ravel(), pairidx)
-        eoff = jnp.take(offset_e.ravel(), pairidx)
+        if one_type:
+            l1 = lj1[0, 0]
+            l2 = lj2[0, 0]
+            l3 = lj3[0, 0]
+            l4 = lj4[0, 0]
+            csq = cutsq[0, 0]
+            eoff = offset_e[0, 0]
+        else:
+            gtj = _shift(gt, delta, 0)[None, :, :]
+            pairidx = gti * nt + gtj
+            l1 = jnp.take(lj1.ravel(), pairidx)
+            l2 = jnp.take(lj2.ravel(), pairidx)
+            l3 = jnp.take(lj3.ravel(), pairidx)
+            l4 = jnp.take(lj4.ravel(), pairidx)
+            csq = jnp.take(cutsq.ravel(), pairidx)
+            eoff = jnp.take(offset_e.ravel(), pairidx)
 
         mask = mask & (rsq < csq)
+        if float(system.special_lj[0]) == 0.0:
+            # excluded pairs drop out entirely (the common fene case)
+            mask = mask & ~is12
+            w = None
+        else:
+            w = jnp.where(is12, s12, jnp.ones_like(rsq))
         rsq_s = jnp.where(mask, rsq, jnp.ones_like(rsq))
         r2inv = 1.0 / rsq_s
         r6inv = r2inv * r2inv * r2inv
-        fpair = r6inv * (l1 * r6inv - l2) * r2inv * w
-        e = (r6inv * (l3 * r6inv - l4) - eoff) * w
-        fpair = jnp.where(mask, fpair, jnp.zeros_like(fpair))
-        e = jnp.where(mask, e, jnp.zeros_like(e))
+        fpair = r6inv * (l1 * r6inv - l2) * r2inv
+        e = r6inv * (l3 * r6inv - l4) - eoff
+        if w is not None:
+            fpair = fpair * w
+            e = e * w
+        zero = jnp.zeros_like(rsq)
+        fpair = jnp.where(mask, fpair, zero)
+        e = jnp.where(mask, e, zero)
 
-        fx = fx + jnp.sum(dx * fpair, axis=-1)
-        fy = fy + jnp.sum(dy * fpair, axis=-1)
-        fz = fz + jnp.sum(dz * fpair, axis=-1)
-        e_acc = e_acc + jnp.sum(e, axis=-1)
+        fx = fx + jnp.sum(dx * fpair, axis=1)
+        fy = fy + jnp.sum(dy * fpair, axis=1)
+        fz = fz + jnp.sum(dz * fpair, axis=1)
+        e_acc = e_acc + jnp.sum(e, axis=1)
 
-    # scatter forces back to bead order
-    flat_slot = slot.reshape(-1)
+    # scatter forces back to bead order (halo rows masked to N -> dropped)
+    tgt = grid.scatter_bead.reshape(-1)
     f = jnp.zeros((n + 1, 3), dtype)
-    f = f.at[flat_slot, 0].add(fx.reshape(-1), mode="drop")
-    f = f.at[flat_slot, 1].add(fy.reshape(-1), mode="drop")
-    f = f.at[flat_slot, 2].add(fz.reshape(-1), mode="drop")
-    epair = 0.5 * jnp.sum(e_acc)
+    f = f.at[tgt, 0].add(fx.reshape(-1), mode="drop")
+    f = f.at[tgt, 1].add(fy.reshape(-1), mode="drop")
+    f = f.at[tgt, 2].add(fz.reshape(-1), mode="drop")
+    valid_e = grid.scatter_bead != n
+    epair = 0.5 * jnp.sum(jnp.where(valid_e, e_acc, 0.0))
     return f[:n], epair

@@ -14,4 +14,7 @@ if "host_platform_device_count" not in _xf:
 
 import jax  # noqa: E402
 
+# The axon site hook force-registers the TPU backend via config (overriding
+# the env var); undo it so tests never contend for the tunneled chip.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
