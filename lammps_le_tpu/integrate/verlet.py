@@ -123,6 +123,11 @@ def _maybe_rebuild(state: State, system: System):
         return state
 
     def rebuild(st: State) -> State:
+        # wrap positions only at rebuild (reference: domain->pbc() runs only
+        # on reneighbor steps, verlet.cpp:271) — ghost-cell coordinate
+        # shifts assume in-box positions at grid build time
+        x, img = cells.wrap_positions(st.x, system, st.img)
+        st = st.replace(x=x, img=img)
         nbr, fl = _build_nbr(st.x, system)
         return st.replace(nbr=nbr, flags=st.flags | fl)
 
@@ -199,8 +204,7 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
             else:
                 v = jnp.where(gm, vh, v)
                 x = jnp.where(gm, x + dx, x)
-        x, img = cells.wrap_positions(x, system, state.img)
-        state = state.replace(x=x, v=v, img=img, step=step_no)
+        state = state.replace(x=x, v=v, step=step_no)
 
         # --- post integrate: LE fixes at their staggered phases ---
         for f, fid, update in event_updates:

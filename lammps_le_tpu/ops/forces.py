@@ -27,6 +27,83 @@ class ForceResult(NamedTuple):
     flags: jax.Array  # uint32 sticky bits
 
 
+def _pair_terms_at(x, i, j, types, system: System, weight):
+    """Weighted LJ force/energy contribution of explicit pairs (i, j).
+
+    Used to subtract special-bond pairs that the exclusion-free grid kernel
+    counted at full strength (reference applies special_lj weights in-list
+    via sbmask, pair_lj_cut.cpp:86-99; here the weighting is a separate
+    O(bonds) pass so the O(N*27*cap^2) kernel carries no exclusion logic).
+    """
+    from .cells import minimum_image
+    from .pair import _lj_tables, _pair_terms
+
+    dtype = x.dtype
+    tables = _lj_tables(system, dtype)
+    d = minimum_image(x[j] - x[i], system.box_size)
+    rsq = jnp.sum(d * d, axis=-1)
+    fpair, e = _pair_terms(rsq, types[i], types[j], tables)
+    fpair = fpair * weight
+    e = e * weight
+    # force on i is (x_i - x_j) * fpair = -d * fpair
+    return -d * fpair[:, None], d * fpair[:, None], e
+
+
+def special_pair_correction(x, types, system: System, ex_left, ex_right):
+    """Force/energy delta removing (1 - w) of each special pair's LJ.
+
+    Covers 1-2 backbone + extruder partners, and 1-3/1-4 backbone tiers
+    when their weights differ from 1 (special_bonds, force.cpp:748-800).
+    """
+    dtype = x.dtype
+    n = system.n
+    f = jnp.zeros((n, 3), dtype)
+    e = jnp.zeros((), dtype)
+    s12, s13, s14 = system.special_lj
+    nxt = jnp.asarray(system.next_bead)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def chain_tier(f, e, hops, w):
+        # follow `hops` next-links; shift-based reaction (j = i + hops)
+        j = idx
+        valid = jnp.ones((n,), bool)
+        for _ in range(hops):
+            valid &= j < n
+            nj = nxt[jnp.where(valid, j, 0)]
+            valid &= nj >= 0
+            j = jnp.where(valid, nj, 0)
+        fi, fj, ep = _pair_terms_at(x, idx, j, types, system, (1.0 - w))
+        vf = valid[:, None]
+        fi = jnp.where(vf, fi, 0.0)
+        fj = jnp.where(vf, fj, 0.0)
+        f = f - fi  # subtract: kernel counted the pair fully
+        f = f.at[hops:].add(-fj[:-hops] if hops else -fj)
+        e = e - jnp.sum(jnp.where(valid, ep, 0.0))
+        return f, e
+
+    if s12 != 1.0:
+        f, e = chain_tier(f, e, 1, s12)
+    if s13 != 1.0:
+        f, e = chain_tier(f, e, 2, s13)
+    if s14 != 1.0:
+        f, e = chain_tier(f, e, 3, s14)
+
+    if ex_left is not None and s12 != 1.0:
+        active = ex_left >= 0
+        li = jnp.where(active, ex_left, 0)
+        ri = jnp.where(active, ex_right, 0)
+        fi, fj, ep = _pair_terms_at(x, li, ri, types, system, (1.0 - s12))
+        va = active[:, None]
+        fi = jnp.where(va, fi, 0.0)
+        fj = jnp.where(va, fj, 0.0)
+        safe_l = jnp.where(active, ex_left, n)
+        safe_r = jnp.where(active, ex_right, n)
+        f = f.at[safe_l].add(-fi, mode="drop")
+        f = f.at[safe_r].add(-fj, mode="drop")
+        e = e - jnp.sum(jnp.where(active, ep, 0.0))
+    return f, e
+
+
 def compute_forces(
     x: jax.Array,
     types: jax.Array,
@@ -49,7 +126,26 @@ def compute_forces(
             from .grid import CellGrid, grid_pair_force
 
             if isinstance(nbr, CellGrid):
-                fp, epair = grid_pair_force(x, types, nbr, system, ex_partner)
+                import os
+
+                from .pallas_pair import pallas_available, pallas_grid_pair_force
+
+                # the XLA half-stencil path currently beats the full-stencil
+                # pallas kernel; keep pallas opt-in until it learns Newton
+                use_pallas = (
+                    os.environ.get("LLE_TPU_PALLAS", "0") == "1"
+                    and pallas_available(system)
+                    and jax.default_backend() == "tpu"
+                )
+                if use_pallas:
+                    fp, epair = pallas_grid_pair_force(x, types, nbr, system)
+                else:
+                    fp, epair = grid_pair_force(x, types, nbr, system)
+                fc, ec = special_pair_correction(
+                    x, types, system, ex_left, ex_right
+                )
+                fp = fp + fc
+                epair = epair + ec
             else:
                 fp, epair = pair_ops.lj_force_nbr(x, types, nbr, system, ex_partner)
         else:

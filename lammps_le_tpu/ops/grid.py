@@ -48,7 +48,7 @@ _OFFSETS = [
 
 @struct.dataclass
 class CellGrid:
-    """Rebuild-time bead->slot assignment plus static per-slot metadata.
+    """Rebuild-time bead->slot assignment.
 
     All arrays are (cap, P) with the flat halo-padded cell axis minor.
     ``slot_bead`` holds bead ids (N = empty); ``scatter_bead`` is the same
@@ -57,17 +57,19 @@ class CellGrid:
 
     slot_bead: jax.Array     # (cap, P) int32
     scatter_bead: jax.Array  # (cap, P) int32, halo -> N
-    nxt: jax.Array           # (cap, P) int32 chain-next bead id (-1 none)
-    prv: jax.Array           # (cap, P) int32 chain-prev bead id
     x_ref: jax.Array         # (N, 3) positions at rebuild (skin check)
 
 
 def _halo_maps(system: System):
     """Static numpy maps for the halo-padded flat grid.
 
-    Returns (src_cell, interior, P, strides): ``src_cell[p]`` is the source
-    interior cell (flat, unpadded) each padded cell duplicates; ``interior``
-    marks non-halo cells.  Cached on first use per neighbor config.
+    Returns (src_cell, interior, P, strides, shifts): ``src_cell[p]`` is the
+    source interior cell (flat, unpadded) each padded cell duplicates;
+    ``interior`` marks non-halo cells; ``shifts`` is a (P, 3) array of
+    +-box_L ghost-image coordinate shifts (the on-device analog of the
+    reference's shifted ghost-atom coordinates, comm_brick.cpp:700 —
+    baking the shift in removes per-pair minimum-image rounding from the
+    pair kernel).  Cached on first use per neighbor config.
     """
     cfg = system.neighbor
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
@@ -88,17 +90,33 @@ def _halo_maps(system: System):
     src_p[:p_raw] = src
     int_p = np.zeros(p, bool)
     int_p[:p_raw] = interior
+    box = system.box_size
+    shifts_raw = np.stack(
+        [
+            np.where(ix == 0, -box[0], np.where(ix == px - 1, box[0], 0.0)),
+            np.where(iy == 0, -box[1], np.where(iy == py - 1, box[1], 0.0)),
+            np.where(iz == 0, -box[2], np.where(iz == pz - 1, box[2], 0.0)),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    shifts = np.zeros((p, 3), np.float64)
+    shifts[:p_raw] = shifts_raw
     # cells in the lane-padding tail keep src 0 but are non-interior and
-    # their j-contributions are masked via bead ids below.
+    # their contributions are masked via sentinel coordinates.
     strides = (py * pz, pz, 1)
-    return src_p, int_p, p, strides
+    return src_p, int_p, p, strides, shifts
 
 
 _HALO_CACHE: dict = {}
 
 
 def halo_maps(system: System):
-    key = (system.neighbor.nx, system.neighbor.ny, system.neighbor.nz)
+    key = (
+        system.neighbor.nx,
+        system.neighbor.ny,
+        system.neighbor.nz,
+        system.box_size,
+    )
     hit = _HALO_CACHE.get(key)
     if hit is None:
         hit = _halo_maps(system)
@@ -112,7 +130,7 @@ def build_grid(x: jax.Array, system: System):
     n = system.n
     nx, ny, nz, cap = cfg.nx, cfg.ny, cfg.nz, cfg.cell_cap
     ncells = nx * ny * nz
-    src, interior, p, _ = halo_maps(system)
+    src, interior, p, _, _ = halo_maps(system)
 
     c3 = cell_coords(x, system)
     cid = (c3[:, 0] * ny + c3[:, 1]) * nz + c3[:, 2]
@@ -133,17 +151,9 @@ def build_grid(x: jax.Array, system: System):
     overflow = jnp.where(
         jnp.max(rank) >= cap, jnp.uint32(FLAG_CELL_OVERFLOW), jnp.uint32(0)
     )
-    nxt_pad = jnp.concatenate(
-        [jnp.asarray(system.next_bead), jnp.full((1,), -1, jnp.int32)]
-    )
-    prv_pad = jnp.concatenate(
-        [jnp.asarray(system.prev_bead), jnp.full((1,), -1, jnp.int32)]
-    )
     grid = CellGrid(
         slot_bead=slot_bead,
         scatter_bead=scatter_bead,
-        nxt=nxt_pad[slot_bead],
-        prv=prv_pad[slot_bead],
         x_ref=x,
     )
     return grid, overflow
@@ -159,80 +169,73 @@ def _shift(a: jax.Array, delta: int, fill):
     return jnp.concatenate([pad, a[..., :delta]], axis=-1)
 
 
+# 13 lexicographically-positive stencil offsets: each unordered cell pair
+# {c, c+delta} is visited once (Newton's third law at the cell level,
+# the dense analog of the reference's half neighbor list with Newton on,
+# npair_half_bin_newton.cpp:35-160)
+_HALF_OFFSETS = [
+    (i, j, k)
+    for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)
+    if (i, j, k) > (0, 0, 0)
+]
+
+
 def grid_pair_force(
     x: jax.Array,
     types: jax.Array,
     grid: CellGrid,
     system: System,
-    ex_partner=None,
+    ex_partner=None,  # unused: exclusions are corrected outside the kernel
 ):
-    """LJ forces + energy from the slot grid.  Returns (f_beads, epair)."""
+    """LJ forces + energy from the slot grid — exclusion-free half stencil.
+
+    * Bonded (special) pairs are *not* masked; the caller subtracts their
+      weighted contribution (forces.special_pair_correction).
+    * Ghost cells carry pre-baked +-L coordinate shifts: no per-pair
+      minimum-image rounding.
+    * 13 positive offsets + the self cell: each cell pair computed once,
+      with the reaction force delivered to the j cell by a static shift —
+      Newton's third law halves the dominant cost.
+    * Halo i-cells are masked at compute time; reactions landing in halo
+      cells fold back onto their source beads through the unmasked
+      slot_bead scatter (halo slots alias interior beads).
+    """
     dtype = x.dtype
     n = system.n
     tables = _lj_tables(system, dtype)
     lj1, lj2, lj3, lj4, cutsq, offset_e = tables
     nt = lj1.shape[0]
     one_type = nt == 1
-    s12 = jnp.asarray(system.special_lj[0], dtype)
-    _, _, _, strides = halo_maps(system)
+    _, interior, _, strides, shifts = halo_maps(system)
+    int_m = jnp.asarray(interior, dtype)[None, None, :]  # (1, 1, P)
 
     slot = grid.slot_bead                      # (cap, P)
-    far = jnp.asarray(1.0e4, dtype)
+    far = jnp.asarray(-1.0e4, dtype)
     xp = jnp.concatenate([x, jnp.full((1, 3), far, dtype)])
-    gx = xp[slot, 0]
-    gy = xp[slot, 1]
-    gz = xp[slot, 2]
+    sh = jnp.asarray(shifts, dtype)            # (P, 3) ghost image shifts
+    gx = xp[slot, 0] + sh[None, :, 0]
+    gy = xp[slot, 1] + sh[None, :, 1]
+    gz = xp[slot, 2] + sh[None, :, 2]
     if not one_type:
         tp = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)])
         gt = tp[slot]
-    if ex_partner is not None:
-        epp = jnp.concatenate([ex_partner, jnp.full((1,), -1, jnp.int32)])
-        gep = epp[slot]
-    gid = slot
-    gnxt = grid.nxt
-    gprv = grid.prv
-
-    box = system.box_size
-
-    def min1(d, L):
-        return d - L * jnp.round(d / L)
 
     fx = jnp.zeros_like(gx)
     fy = jnp.zeros_like(gy)
     fz = jnp.zeros_like(gz)
     e_acc = jnp.zeros_like(gx)
 
-    # i-side broadcast views: (cap_i, 1, P)
     gxi = gx[:, None, :]
     gyi = gy[:, None, :]
     gzi = gz[:, None, :]
-    gidi = gid[:, None, :]
-    gnxti = gnxt[:, None, :]
-    gprvi = gprv[:, None, :]
-    valid_i = gidi != n
     if not one_type:
         gti = gt[:, None, :]
-    if ex_partner is not None:
-        gepi = gep[:, None, :]
 
-    for (dx_c, dy_c, dz_c) in _OFFSETS:
-        delta = dx_c * strides[0] + dy_c * strides[1] + dz_c * strides[2]
-        gxj = _shift(gx, delta, far)[None, :, :]
-        gyj = _shift(gy, delta, far)[None, :, :]
-        gzj = _shift(gz, delta, far)[None, :, :]
-        gidj = _shift(gid, delta, n)[None, :, :]
-
-        dx = min1(gxi - gxj, box[0])
-        dy = min1(gyi - gyj, box[1])
-        dz = min1(gzi - gzj, box[2])
+    def pair_block(gxj, gyj, gzj, gtj):
+        dx = gxi - gxj
+        dy = gyi - gyj
+        dz = gzi - gzj
         rsq = dx * dx + dy * dy + dz * dz
-
-        mask = valid_i & (gidj != n) & (gidi != gidj)
-        # special 1-2: backbone neighbors + extruder partner
-        is12 = (gidj == gnxti) | (gidj == gprvi)
-        if ex_partner is not None:
-            is12 = is12 | (gidj == gepi)
-
         if one_type:
             l1 = lj1[0, 0]
             l2 = lj2[0, 0]
@@ -241,7 +244,6 @@ def grid_pair_force(
             csq = cutsq[0, 0]
             eoff = offset_e[0, 0]
         else:
-            gtj = _shift(gt, delta, 0)[None, :, :]
             pairidx = gti * nt + gtj
             l1 = jnp.take(lj1.ravel(), pairidx)
             l2 = jnp.take(lj2.ravel(), pairidx)
@@ -249,37 +251,53 @@ def grid_pair_force(
             l4 = jnp.take(lj4.ravel(), pairidx)
             csq = jnp.take(cutsq.ravel(), pairidx)
             eoff = jnp.take(offset_e.ravel(), pairidx)
-
-        mask = mask & (rsq < csq)
-        if float(system.special_lj[0]) == 0.0:
-            # excluded pairs drop out entirely (the common fene case)
-            mask = mask & ~is12
-            w = None
-        else:
-            w = jnp.where(is12, s12, jnp.ones_like(rsq))
+        # rsq == 0 exactly only for the self pair (sentinels are spread
+        # apart by the ghost shifts and fill constants)
+        mask = (rsq < csq) & (rsq > 0.0)
+        w = jnp.where(mask, int_m, jnp.zeros_like(rsq))  # halo-i masked
         rsq_s = jnp.where(mask, rsq, jnp.ones_like(rsq))
         r2inv = 1.0 / rsq_s
         r6inv = r2inv * r2inv * r2inv
-        fpair = r6inv * (l1 * r6inv - l2) * r2inv
-        e = r6inv * (l3 * r6inv - l4) - eoff
-        if w is not None:
-            fpair = fpair * w
-            e = e * w
-        zero = jnp.zeros_like(rsq)
-        fpair = jnp.where(mask, fpair, zero)
-        e = jnp.where(mask, e, zero)
+        fpair = r6inv * (l1 * r6inv - l2) * r2inv * w
+        e = (r6inv * (l3 * r6inv - l4) - eoff) * w
+        return dx, dy, dz, fpair, e
 
-        fx = fx + jnp.sum(dx * fpair, axis=1)
-        fy = fy + jnp.sum(dy * fpair, axis=1)
-        fz = fz + jnp.sum(dz * fpair, axis=1)
+    # self cell: full i != j (each in-cell pair counted twice; energy halved)
+    gtj0 = gt[None, :, :] if not one_type else None
+    dx, dy, dz, fpair, e = pair_block(
+        gx[None, :, :], gy[None, :, :], gz[None, :, :], gtj0
+    )
+    fx = fx + jnp.sum(dx * fpair, axis=1)
+    fy = fy + jnp.sum(dy * fpair, axis=1)
+    fz = fz + jnp.sum(dz * fpair, axis=1)
+    e_acc = e_acc + 0.5 * jnp.sum(e, axis=1)
+
+    for (dx_c, dy_c, dz_c) in _HALF_OFFSETS:
+        delta = dx_c * strides[0] + dy_c * strides[1] + dz_c * strides[2]
+        gxj = _shift(gx, delta, far)[None, :, :]
+        gyj = _shift(gy, delta, far)[None, :, :]
+        gzj = _shift(gz, delta, far)[None, :, :]
+        gtj = _shift(gt, delta, 0)[None, :, :] if not one_type else None
+        dx, dy, dz, fpair, e = pair_block(gxj, gyj, gzj, gtj)
+
+        wfx = dx * fpair
+        wfy = dy * fpair
+        wfz = dz * fpair
+        fx = fx + jnp.sum(wfx, axis=1)
+        fy = fy + jnp.sum(wfy, axis=1)
+        fz = fz + jnp.sum(wfz, axis=1)
         e_acc = e_acc + jnp.sum(e, axis=1)
+        # Newton reaction on the j cell: reduce over i, shift back by -delta
+        fx = fx - _shift(jnp.sum(wfx, axis=0), -delta, 0.0)
+        fy = fy - _shift(jnp.sum(wfy, axis=0), -delta, 0.0)
+        fz = fz - _shift(jnp.sum(wfz, axis=0), -delta, 0.0)
 
-    # scatter forces back to bead order (halo rows masked to N -> dropped)
-    tgt = grid.scatter_bead.reshape(-1)
+    # scatter to bead order: halo slots alias their source beads, so the
+    # unmasked scatter folds halo-cell reactions onto the right owners
+    tgt = grid.slot_bead.reshape(-1)
     f = jnp.zeros((n + 1, 3), dtype)
     f = f.at[tgt, 0].add(fx.reshape(-1), mode="drop")
     f = f.at[tgt, 1].add(fy.reshape(-1), mode="drop")
     f = f.at[tgt, 2].add(fz.reshape(-1), mode="drop")
-    valid_e = grid.scatter_bead != n
-    epair = 0.5 * jnp.sum(jnp.where(valid_e, e_acc, 0.0))
+    epair = jnp.sum(e_acc)
     return f[:n], epair

@@ -58,24 +58,36 @@ def test_lj_cell_list_matches_bruteforce(chain_sys):
     np.testing.assert_allclose(float(e_nbr), float(e_bf), rtol=1e-12)
 
 
-def test_grid_pair_matches_bruteforce(chain_sys):
+def _grid_vs_brute(system, x, ex_left=None, ex_right=None, partner=None):
+    """Total pair force via the grid path (kernel + special correction)
+    vs the brute-force reference path with in-kernel exclusions."""
     from lammps_le_tpu.ops import grid as grid_ops
+    from lammps_le_tpu.ops.forces import special_pair_correction
 
-    system, x = chain_sys
     types = jnp.zeros(system.n, jnp.int32)
-    xj = jnp.asarray(x)
+    # the engine wraps at rebuild (ghost shifts assume in-box positions)
+    xj = jnp.asarray(np.asarray(x) % np.asarray(system.box_size))
     g, fl = grid_ops.build_grid(xj, system)
-    assert int(fl) == 0
     f_g, e_g = grid_ops.grid_pair_force(xj, types, g, system)
-    f_b, e_b = pair_ops.lj_force_bruteforce(xj, types, system)
+    fc, ec = special_pair_correction(xj, types, system, ex_left, ex_right)
+    f_g = f_g + fc
+    e_g = e_g + ec
+    f_b, e_b = pair_ops.lj_force_bruteforce(xj, types, system,
+                                            ex_partner=partner)
+    return int(fl), f_g, e_g, f_b, e_b
+
+
+def test_grid_pair_matches_bruteforce(chain_sys):
+    system, x = chain_sys
+    fl, f_g, e_g, f_b, e_b = _grid_vs_brute(system, x)
+    assert fl == 0
     scale = float(jnp.abs(f_b).max())
     np.testing.assert_allclose(np.asarray(f_g), np.asarray(f_b),
-                               atol=1e-10 * max(scale, 1.0))
-    np.testing.assert_allclose(float(e_g), float(e_b), rtol=1e-12)
+                               atol=1e-9 * max(scale, 1.0))
+    np.testing.assert_allclose(float(e_g), float(e_b), rtol=1e-10)
 
 
 def test_grid_pair_excludes_extruder_partners(chain_sys):
-    from lammps_le_tpu.ops import grid as grid_ops
     from lammps_le_tpu.state import extruder_partner, init_state
 
     system, x = chain_sys
@@ -87,15 +99,14 @@ def test_grid_pair_excludes_extruder_partners(chain_sys):
         ex_right=jnp.asarray([30], jnp.int32),
     )
     partner = extruder_partner(state, system.n)
-    types = jnp.zeros(system.n, jnp.int32)
-    xj = jnp.asarray(x)
-    g, _ = grid_ops.build_grid(xj, system)
-    f_g, e_g = grid_ops.grid_pair_force(xj, types, g, system, ex_partner=partner)
-    f_b, e_b = pair_ops.lj_force_bruteforce(xj, types, system, ex_partner=partner)
+    fl, f_g, e_g, f_b, e_b = _grid_vs_brute(
+        system, x, ex_left=state.ex_left, ex_right=state.ex_right,
+        partner=partner,
+    )
     scale = float(jnp.abs(f_b).max())
     np.testing.assert_allclose(np.asarray(f_g), np.asarray(f_b),
-                               atol=1e-10 * max(scale, 1.0))
-    np.testing.assert_allclose(float(e_g), float(e_b), rtol=1e-12)
+                               atol=1e-9 * max(scale, 1.0))
+    np.testing.assert_allclose(float(e_g), float(e_b), rtol=1e-10)
 
 
 def test_cell_list_valid_after_skin_motion(chain_sys):

@@ -29,8 +29,8 @@ def test_nve_energy_conservation():
 
 
 def test_langevin_thermalizes():
-    system, x = random_chain_system(n_chains=4, chain_len=20, box_l=14.0,
-                                    seed=2, dtype="float32")
+    system, x = relaxed_chain_system(n_chains=4, chain_len=20, box_l=24.0,
+                                     seed=2, dtype="float32")
     sim = Simulation(
         system=system,
         dt=0.012,
