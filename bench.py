@@ -31,10 +31,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from lammps_le_tpu.fixes import NVE, Extrusion, ExLoad, ExUnload, Langevin, NVELimit
+    from lammps_le_tpu.fixes import NVE, Extrusion, ExLoad, ExUnload, Langevin
     from lammps_le_tpu.integrate import Simulation, run as run_loop
     from lammps_le_tpu.io.data import system_from_data
-    from lammps_le_tpu.scene import chromosome
+    from lammps_le_tpu.scene import serpentine
     from lammps_le_tpu.state import init_state
     from lammps_le_tpu.system import BondParams, PairLJCut, BOND_FENE, BOND_HARMONIC
 
@@ -42,7 +42,8 @@ def main():
     n_ex0 = 500
     log(f"devices: {jax.devices()}")
 
-    data = chromosome(n_beads, density=0.8442, seed=2024,
+    # overlap-free folded chain at melt-like density; CTCF barriers sprinkled
+    data = serpentine(n_beads, spacing=0.97, row_gap=1.1, seed=2024,
                       barrier_fraction=0.003)
     ones = np.ones((4, 4))
     pair = PairLJCut(epsilon=ones, sigma=ones, cutoff=1.12 * ones, shift=True)
@@ -50,22 +51,23 @@ def main():
         style=np.array([BOND_FENE, BOND_HARMONIC]),
         coeffs=np.array([[30.0, 1.5, 1.0, 1.0], [10.0, 1.0, 0.0, 0.0]]),
     )
+    # cell_cap=14: extruder loops locally compact the chain beyond the
+    # Poisson auto-estimate (overflow is flagged, never silent)
     system, _ = system_from_data(
         data, pair=pair, bonds=bonds, dtype="float32",
-        ex_btype=2, max_extruders=4096, rebuild_every=4,
+        ex_btype=2, max_extruders=4096, rebuild_every=3, cell_cap=14,
     )
 
-    # --- push-off: random-walk start has overlaps; cap displacement ---
-    push = Simulation(
-        system=system, dt=0.002,
-        fixes=(NVELimit(xmax=0.05),
-               Langevin(t_start=1.0, t_stop=1.0, damp=1.0, seed=7)),
+    # --- thermalize to T*=1 (no overlaps in the serpentine start) ---
+    warm = Simulation(
+        system=system, dt=0.006,
+        fixes=(NVE(), Langevin(t_start=1.0, t_stop=1.0, damp=1.0, seed=7)),
         ex_btype=2,
     )
     state = init_state(system, data.x, types=data.types, seed=11)
     t0 = time.perf_counter()
-    state, _ = run_loop(push, state, 200 if quick else 1000)
-    log(f"push-off done in {time.perf_counter()-t0:.1f}s "
+    state, _ = run_loop(warm, state, 300 if quick else 1500)
+    log(f"thermalization done in {time.perf_counter()-t0:.1f}s "
         f"(incl. compile), flags={int(state.flags):#x}")
 
     # --- seed extruders at regular (i, i+2) sites ---

@@ -417,20 +417,30 @@ class DeckRunner:
         groups = self._resolved_groups()
         names = {"step": "Step", "temp": "Temp", "epair": "E_pair",
                  "ebond": "E_mol", "etotal": "TotEng", "ke": "KinEng",
-                 "n_extruders": "Extruders"}
+                 "press": "Press", "n_extruders": "Extruders"}
         cols = [c for c in ("step", "temp", "epair", "ebond", "etotal",
-                            "n_extruders")]
+                            "press", "n_extruders")]
         self.log(" ".join(f"{names[c]:>12}" for c in cols))
+
+        from ..observe.pressure import make_pressure_fn
+
+        if getattr(self, "_press_fn_sys", None) is not self.system:
+            self._press_fn = make_pressure_fn(self.system, self._ex_btype())
+            self._press_fn_sys = self.system
+        press_fn = self._press_fn
 
         # lj units normalize extensive thermo per atom (LAMMPS thermo_modify
         # norm default, reference: src/thermo.cpp lj-units convention)
         norm = 1.0 / self.system.n if self.units == "lj" else 1.0
         extensive = {"epair", "ebond", "etotal", "ke"}
 
-        def emit(row):
+        def emit(row, st=None):
             vals = row._asdict()
             txt = []
             for c in cols:
+                if c == "press":
+                    txt.append(f"{float(press_fn(st)) if st is not None else 0.0:>12.6g}")
+                    continue
                 v = vals[c]
                 if c in ("step", "n_extruders"):
                     txt.append(f"{int(v):>12d}")

@@ -367,7 +367,7 @@ def run(
         row = jax.device_get(thermo_row(state, system))
         rows.append(row)
         if thermo_callback:
-            thermo_callback(row)
+            thermo_callback(row, state)
 
     done = 0
     while done < nsteps:
@@ -378,5 +378,5 @@ def run(
             row = jax.device_get(thermo_row(state, system))
             rows.append(row)
             if thermo_callback:
-                thermo_callback(row)
+                thermo_callback(row, state)
     return state, rows

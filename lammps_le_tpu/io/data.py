@@ -118,6 +118,33 @@ def read_data(path: str) -> DataFile:
     image = np.zeros((n, 3), np.int32)
     bonds = np.zeros((nb, 3), np.int64)
 
+    def to_array(rows, expected, cols):
+        """Rows -> (expected, cols) float array, id-placed.
+
+        Uses the native C++ parser (reference read_data.cpp's role) for
+        large sections when available; numpy fallback otherwise.
+        """
+        if len(rows) != expected:
+            raise ValueError(f"section has {len(rows)} rows, expected {expected}")
+        if expected >= 20000:
+            from ..native import load_fastio
+            from ..native.build import parse_rows
+
+            lib = load_fastio()
+            if lib is not None:
+                return parse_rows(lib, "\n".join(rows), expected, cols)
+        split = [r.split() for r in rows]
+        width = max(len(s) for s in split)
+        arr = np.zeros((expected, cols), np.float64)
+        raw = np.asarray(
+            [s + ["0"] * (width - len(s)) for s in split], dtype=np.float64
+        )
+        take = min(width, cols)
+        # id-placed like the native parser
+        ids = raw[:, 0].astype(np.int64) - 1
+        arr[ids, :take] = raw[:, :take]
+        return arr
+
     def parse_section(name: str, start: int) -> int:
         j = start
         rows = []
@@ -130,31 +157,26 @@ def read_data(path: str) -> DataFile:
                 continue
             if s in _SECTIONS:
                 break
-            rows.append(s.split())
+            rows.append(s)
             j += 1
         if name == "Masses":
             for r in rows:
-                masses[int(r[0]) - 1] = float(r[1])
+                p = r.split()
+                masses[int(p[0]) - 1] = float(p[1])
         elif name == "Atoms":
-            if len(rows) != n:
-                raise ValueError(f"Atoms section has {len(rows)} rows, expected {n}")
-            arr = np.asarray(rows, dtype=np.float64)
-            ids = arr[:, 0].astype(np.int64) - 1
-            molecule[ids] = arr[:, 1].astype(np.int32) - 1
-            types[ids] = arr[:, 2].astype(np.int32) - 1
-            x[ids] = arr[:, 3:6]
-            if arr.shape[1] >= 9:
-                image[ids] = arr[:, 6:9].astype(np.int32)
+            # to_array id-places rows, so arr[i] is atom id i+1
+            arr = to_array(rows, n, 9)
+            molecule[:] = arr[:, 1].astype(np.int32) - 1
+            types[:] = arr[:, 2].astype(np.int32) - 1
+            x[:] = arr[:, 3:6]
+            image[:] = arr[:, 6:9].astype(np.int32)
         elif name == "Velocities":
             nonlocal v
-            v = np.zeros((n, 3))
-            arr = np.asarray(rows, dtype=np.float64)
-            v[arr[:, 0].astype(np.int64) - 1] = arr[:, 1:4]
+            arr = to_array(rows, n, 4)
+            v = arr[:, 1:4].copy()
         elif name == "Bonds":
-            if len(rows) != nb:
-                raise ValueError(f"Bonds section has {len(rows)} rows, expected {nb}")
-            arr = np.asarray(rows, dtype=np.int64)
-            bonds[arr[:, 0] - 1] = arr[:, 1:4] - 1
+            arr = to_array(rows, nb, 4).astype(np.int64)
+            bonds[:] = arr[:, 1:4] - 1
         # other sections silently skipped
         return j
 

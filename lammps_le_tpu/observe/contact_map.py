@@ -1,0 +1,91 @@
+"""On-device contact-map accumulation — the primary LE observable.
+
+Contact maps (binned bead-bead proximity counts) are how loop-extrusion
+simulations are compared to Hi-C data and how this engine's statistics are
+validated against the reference fix (BASELINE.md: "contact maps matching
+within statistical error").  The accumulation reuses the halo cell grid:
+every bead pair within ``radius`` votes into a (nbins, nbins) genomic-bin
+matrix.  Intended to run every ``sample_every`` steps, not per step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import grid as grid_ops
+from ..ops.cells import wrap_positions
+from ..state import State
+from ..system import System
+
+
+def make_contact_fn(system: System, radius: float = 2.0, nbins: int = 256):
+    """jitted (state, cmap) -> cmap with this snapshot's contacts added.
+
+    cmap is a (nbins, nbins) float32 matrix over genomic (chain-index)
+    bins; both (i,j) and (j,i) receive each contact.
+    """
+    n = system.n
+    rcsq = radius * radius
+    _, interior, _, strides, shifts = grid_ops.halo_maps(system)
+    offsets = grid_ops._OFFSETS
+
+    # contact radius must fit in one stencil reach
+    reach = system.neighbor.cell_size
+    assert radius <= reach, (
+        f"contact radius {radius} exceeds cell reach {reach}; "
+        "increase skin or use a wider-stencil build"
+    )
+
+    @jax.jit
+    def accumulate(state: State, cmap: jax.Array) -> jax.Array:
+        x, _ = wrap_positions(state.x, system, state.img)
+        grid, _ = grid_ops.build_grid(x, system)
+        slot = grid.slot_bead
+        dtype = x.dtype
+        far = jnp.asarray(-1.0e4, dtype)
+        xp = jnp.concatenate([x, jnp.full((1, 3), far, dtype)])
+        sh = jnp.asarray(shifts, dtype)
+        gx = xp[slot, 0] + sh[None, :, 0]
+        gy = xp[slot, 1] + sh[None, :, 1]
+        gz = xp[slot, 2] + sh[None, :, 2]
+        bead_bin = jnp.clip(
+            (jnp.arange(n + 1, dtype=jnp.int32) * nbins) // n, 0, nbins - 1
+        )
+        gbin = bead_bin[slot]
+        int_m = jnp.asarray(interior)[None, None, :]
+        gvalid = (slot != n)[:, None, :] & int_m
+
+        gxi = gx[:, None, :]
+        gyi = gy[:, None, :]
+        gzi = gz[:, None, :]
+        gbini = gbin[:, None, :]
+
+        cm = cmap.astype(jnp.float32)
+        for (dx_c, dy_c, dz_c) in offsets:
+            delta = (
+                dx_c * strides[0] + dy_c * strides[1] + dz_c * strides[2]
+            )
+            gxj = grid_ops._shift(gx, delta, far)[None, :, :]
+            gyj = grid_ops._shift(gy, delta, far)[None, :, :]
+            gzj = grid_ops._shift(gz, delta, far)[None, :, :]
+            gbinj = grid_ops._shift(gbin, delta, nbins)[None, :, :]
+            dx = gxi - gxj
+            dy = gyi - gyj
+            dz = gzi - gzj
+            rsq = dx * dx + dy * dy + dz * dz
+            mask = gvalid & (rsq < rcsq) & (rsq > 0.0)
+            flat = (gbini * nbins + gbinj).reshape(-1)
+            cm = cm.reshape(-1).at[flat].add(
+                mask.reshape(-1).astype(jnp.float32), mode="drop"
+            ).reshape(nbins, nbins)
+        return cm
+
+    return accumulate
+
+
+def contact_map_accumulate(state, system, cmap=None, radius=2.0, nbins=256):
+    """Convenience one-shot wrapper."""
+    if cmap is None:
+        cmap = jnp.zeros((nbins, nbins), jnp.float32)
+    return make_contact_fn(system, radius, nbins)(state, cmap)

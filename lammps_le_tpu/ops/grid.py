@@ -186,6 +186,7 @@ def grid_pair_force(
     grid: CellGrid,
     system: System,
     ex_partner=None,  # unused: exclusions are corrected outside the kernel
+    virial: bool = False,
 ):
     """LJ forces + energy from the slot grid — exclusion-free half stencil.
 
@@ -205,7 +206,14 @@ def grid_pair_force(
     tables = _lj_tables(system, dtype)
     lj1, lj2, lj3, lj4, cutsq, offset_e = tables
     nt = lj1.shape[0]
-    one_type = nt == 1
+    # scalar fast path whenever every type pair shares one parameter set
+    # (all LE decks): skips per-pair table gathers entirely
+    pp = system.pair
+    uniform = all(
+        bool(np.all(np.asarray(a) == np.asarray(a).flat[0]))
+        for a in (pp.epsilon, pp.sigma, pp.cutoff)
+    )
+    one_type = nt == 1 or uniform
     _, interior, _, strides, shifts = halo_maps(system)
     int_m = jnp.asarray(interior, dtype)[None, None, :]  # (1, 1, P)
 
@@ -224,6 +232,7 @@ def grid_pair_force(
     fy = jnp.zeros_like(gy)
     fz = jnp.zeros_like(gz)
     e_acc = jnp.zeros_like(gx)
+    w_acc = jnp.zeros((), dtype)
 
     gxi = gx[:, None, :]
     gyi = gy[:, None, :]
@@ -271,6 +280,10 @@ def grid_pair_force(
     fy = fy + jnp.sum(dy * fpair, axis=1)
     fz = fz + jnp.sum(dz * fpair, axis=1)
     e_acc = e_acc + 0.5 * jnp.sum(e, axis=1)
+    if virial:
+        w_acc = w_acc + 0.5 * jnp.sum(
+            fpair * (dx * dx + dy * dy + dz * dz)
+        )
 
     for (dx_c, dy_c, dz_c) in _HALF_OFFSETS:
         delta = dx_c * strides[0] + dy_c * strides[1] + dz_c * strides[2]
@@ -287,6 +300,8 @@ def grid_pair_force(
         fy = fy + jnp.sum(wfy, axis=1)
         fz = fz + jnp.sum(wfz, axis=1)
         e_acc = e_acc + jnp.sum(e, axis=1)
+        if virial:
+            w_acc = w_acc + jnp.sum(wfx * dx + wfy * dy + wfz * dz)
         # Newton reaction on the j cell: reduce over i, shift back by -delta
         fx = fx - _shift(jnp.sum(wfx, axis=0), -delta, 0.0)
         fy = fy - _shift(jnp.sum(wfy, axis=0), -delta, 0.0)
@@ -300,4 +315,6 @@ def grid_pair_force(
     f = f.at[tgt, 1].add(fy.reshape(-1), mode="drop")
     f = f.at[tgt, 2].add(fz.reshape(-1), mode="drop")
     epair = jnp.sum(e_acc)
+    if virial:
+        return f[:n], epair, w_acc
     return f[:n], epair
