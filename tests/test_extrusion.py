@@ -23,9 +23,13 @@ def straight_chain_system(n=30, n_types=4, max_extruders=8, spacing=0.97):
     nxt, prv, mol, btype = chain_topology([n])
     x = np.zeros((n, 3))
     x[:, 0] = np.arange(n) * spacing + 1.0
-    box = n * spacing + 2.0
+    x[:, 1] = 4.0
+    x[:, 2] = 4.0
+    # keep the transverse box small: a cubic box of edge ~n*spacing would
+    # create an enormous, nearly-empty cell grid (slow on test CPUs)
+    box = (n * spacing + 2.0, 8.0, 8.0)
     system = build_system(
-        n=n, n_types=n_types, box_lo=(0, 0, 0), box_hi=(box, box, box),
+        n=n, n_types=n_types, box_lo=(0, 0, 0), box_hi=box,
         next_bead=nxt, prev_bead=prv, molecule=mol, backbone_type=btype,
         masses=np.ones(n_types), pair=lj_pair_params(n_types),
         bonds=fene_harmonic_bonds(), max_extruders=max_extruders,

@@ -27,15 +27,18 @@ def test_barrier_passage_rate_matches_through_prob():
     state = init_state(system, x, types=types)
     state = put_extruders(state, [(10, 14)], 8)
     occ = extruder_partner(state, system.n) >= 0
-    passed = 0
     trials = 300
     xj = jnp.asarray(x)
-    for k in range(trials):
+
+    @jax.jit
+    @jax.vmap
+    def trial(key):
         l, r, nm = upd(xj, state.type, state.ex_left, state.ex_right, occ,
-                       jax.random.PRNGKey(k))
-        if int(l[0]) == 9:
-            passed += 1
-    frac = passed / trials
+                       key)
+        return l[0] == 9
+
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(trials))
+    frac = float(jnp.mean(trial(keys)))
     assert 0.38 < frac < 0.62, frac
 
 
@@ -91,13 +94,13 @@ def test_extrusion_velocity_free_chain():
     """A lone unobstructed extruder grows by exactly 2 beads per event
     (reference semantics: one shift per side per nevery,
     fix_extrusion.cpp:430-452)."""
-    system, x = straight_chain_system(n=200)
+    system, x = straight_chain_system(n=60)
     fix = Extrusion(nevery=5, neutral_type=1, ctcf_left=2, ctcf_right=3,
                     through_prob=0.0, btype=2)
     sim = Simulation(system=system, dt=0.0005, fixes=(NVE(), fix))
     state = init_state(system, x)
-    state = put_extruders(state, [(98, 102)], 8)
-    n_events = 8
+    state = put_extruders(state, [(28, 32)], 8)
+    n_events = 5
     state, _ = run(sim, state, 5 * n_events)
     l, r = int(state.ex_left[0]), int(state.ex_right[0])
     assert (r - l) == 4 + 2 * n_events, (l, r)
