@@ -49,13 +49,17 @@ def main():
     pair = PairLJCut(epsilon=ones, sigma=ones, cutoff=1.12 * ones, shift=True)
     bonds = BondParams(
         style=np.array([BOND_FENE, BOND_HARMONIC]),
-        coeffs=np.array([[30.0, 1.5, 1.0, 1.0], [10.0, 1.0, 0.0, 0.0]]),
+        coeffs=np.array([[30.0, 1.5, 1.0, 1.0], [10.0, 1.1, 0.0, 0.0]]),
     )
-    # cell_cap=14: extruder loops locally compact the chain beyond the
-    # Poisson auto-estimate (overflow is flagged, never silent)
+    # TPU-native neighbor policy: rebuilds are ~free on the cell grid, so
+    # rebuild EVERY step with a skin sized for the thermal velocity *tail*
+    # (0.25 ~ 10 sigma_v * dt) — a static cadence with a tight skin lets
+    # fast beads in a 100k ensemble slip past the half-skin bound, silently
+    # losing pairs and heating the system until it blows up.
     system, _ = system_from_data(
         data, pair=pair, bonds=bonds, dtype="float32",
-        ex_btype=2, max_extruders=4096, rebuild_every=3, cell_cap=14,
+        ex_btype=2, max_extruders=4096, skin=0.25, rebuild_every=1,
+        cell_cap=10,
     )
 
     # --- thermalize to T*=1 (no overlaps in the serpentine start) ---
@@ -100,6 +104,15 @@ def main():
         ),
         ex_btype=2,
     )
+    # settle: seeded extruder bonds inject elastic energy; let the
+    # thermostat absorb it at a small timestep before measuring
+    settle = Simulation(system=system, dt=0.003, fixes=sim.fixes, ex_btype=2)
+    t0 = time.perf_counter()
+    state, _ = run_loop(settle, state, 100 if quick else 400)
+    jax.device_get(state.epair)
+    log(f"settle {time.perf_counter()-t0:.1f}s, flags={int(state.flags):#x}")
+    state = state.replace(flags=jnp.zeros((), jnp.uint32))
+
     # warmup (compiles the production step)
     t0 = time.perf_counter()
     state, _ = run_loop(sim, state, 50)
@@ -116,8 +129,14 @@ def main():
     n_ex = int(jnp.sum(state.ex_left >= 0))
     moves = int(state.n_moves)
     events_per_s = moves / wall
+    from lammps_le_tpu.integrate import thermo_row
+
+    row = thermo_row(state, system)
+    temp = float(row.temp)
+    healthy = bool(np.isfinite(temp)) and 0.5 < temp < 2.0
     log(f"{steps_per_s:.1f} steps/s, {bead_steps/1e6:.1f} M bead-steps/s, "
-        f"extruders={n_ex}, moves={moves}, flags={int(state.flags):#x}")
+        f"extruders={n_ex}, moves={moves}, T={temp:.3f}, "
+        f"flags={int(state.flags):#x}")
 
     print(json.dumps({
         "metric": "bead_steps_per_sec_per_chip_100k_le",
@@ -130,6 +149,8 @@ def main():
             "extruders": n_ex,
             "extrusion_moves": moves,
             "extrusion_events_per_s": round(events_per_s, 2),
+            "temp": round(temp, 4),
+            "healthy": healthy,
             "flags": int(state.flags),
         },
     }))

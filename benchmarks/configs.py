@@ -70,7 +70,7 @@ def _chain_system(n_chains, chain_len, seed=12345, **kw):
     pair = PairLJCut(epsilon=ones, sigma=ones, cutoff=1.12 * ones, shift=True)
     bonds = BondParams(
         style=np.array([BOND_FENE, BOND_HARMONIC]),
-        coeffs=np.array([[30.0, 1.5, 1.0, 1.0], [10.0, 1.0, 0.0, 0.0]]),
+        coeffs=np.array([[30.0, 1.5, 1.0, 1.0], [10.0, 1.1, 0.0, 0.0]]),
     )
     from lammps_le_tpu.io.data import system_from_data
 
@@ -207,7 +207,7 @@ read_data data.le
 neighbor 0.4 bin
 bond_style hybrid
 bond_coeff 1 fene 30.0 1.5 1.0 1.0
-bond_coeff 2 harmonic 10.0 1.0
+bond_coeff 2 harmonic 10.0 1.1
 pair_style lj/cut 1.12
 pair_modify shift yes
 pair_coeff * * 1.0 1.0 1.12

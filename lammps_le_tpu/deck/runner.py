@@ -40,7 +40,7 @@ class DeckRunner:
         self.atom_style = "bond"
         self.special_lj = (0.0, 1.0, 1.0)
         self.skin = 0.4
-        self.rebuild_every = 10
+        self.rebuild_every = 1
         self.pair_style: Optional[str] = None
         self.pair_global_cutoff = 1.12
         self.pair_shift = False

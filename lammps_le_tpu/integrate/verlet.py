@@ -287,12 +287,16 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
                 vn = vn * scale
             v = vn if gm is None else jnp.where(gm, vn, v)
 
+        from ..state import FLAG_NON_FINITE
+
+        finite = jnp.isfinite(fr.epair) & jnp.isfinite(fr.ebond)
+        nf = jnp.where(finite, jnp.uint32(0), jnp.uint32(FLAG_NON_FINITE))
         return state.replace(
             v=v,
             f=f_total,
             epair=fr.epair,
             ebond=fr.ebond,
-            flags=state.flags | fr.flags,
+            flags=state.flags | fr.flags | nf,
         )
 
     return step
@@ -349,16 +353,19 @@ def run(
     groups: Optional[dict] = None,
     thermo_every: int = 0,
     thermo_callback=None,
+    max_segment: int = 500,
 ):
     """Drive nsteps, returning (state, list_of_thermo_rows).
 
     Compiles one segment scan per Simulation and reuses it; thermo rows are
     produced at t=0 (post-setup) and every ``thermo_every`` steps.
+    ``max_segment`` bounds the steps per device call (very long single
+    executions can trip transport timeouts on remote accelerators).
     """
     system = sim.system
     segment, setup_fn = _compiled(sim, groups)
 
-    seg = thermo_every if thermo_every > 0 else nsteps
+    seg = thermo_every if thermo_every > 0 else min(nsteps, max_segment)
     rows = []
 
     # normalize pytree structure (nbr dropped) so setup/segment compile once
@@ -372,7 +379,15 @@ def run(
     done = 0
     while done < nsteps:
         this = min(seg, nsteps - done)
-        state = segment(state, this)
+        left = this
+        while left > 0:
+            chunk = min(left, max_segment)
+            state = segment(state, chunk)
+            if left > chunk:
+                # sync between chunks: keeps any single device execution
+                # bounded (remote-transport timeout guard)
+                jax.device_get(state.step)
+            left -= chunk
         done += this
         if thermo_every > 0:
             row = jax.device_get(thermo_row(state, system))

@@ -204,7 +204,7 @@ def grid_pair_force(
     dtype = x.dtype
     n = system.n
     tables = _lj_tables(system, dtype)
-    lj1, lj2, lj3, lj4, cutsq, offset_e = tables
+    lj1, lj2, lj3, lj4, cutsq, offset_e, floorsq = tables
     nt = lj1.shape[0]
     # scalar fast path whenever every type pair shares one parameter set
     # (all LE decks): skips per-pair table gathers entirely
@@ -252,6 +252,7 @@ def grid_pair_force(
             l4 = lj4[0, 0]
             csq = cutsq[0, 0]
             eoff = offset_e[0, 0]
+            fsq = floorsq[0, 0]
         else:
             pairidx = gti * nt + gtj
             l1 = jnp.take(lj1.ravel(), pairidx)
@@ -260,11 +261,14 @@ def grid_pair_force(
             l4 = jnp.take(lj4.ravel(), pairidx)
             csq = jnp.take(cutsq.ravel(), pairidx)
             eoff = jnp.take(offset_e.ravel(), pairidx)
+            fsq = jnp.take(floorsq.ravel(), pairidx)
         # rsq == 0 exactly only for the self pair (sentinels are spread
         # apart by the ghost shifts and fill constants)
         mask = (rsq < csq) & (rsq > 0.0)
         w = jnp.where(mask, int_m, jnp.zeros_like(rsq))  # halo-i masked
-        rsq_s = jnp.where(mask, rsq, jnp.ones_like(rsq))
+        # LJ evaluation floor (see ops.pair._RSQ_FLOOR_FRAC): keeps
+        # interpenetrating special pairs finite and cancellation-exact
+        rsq_s = jnp.maximum(jnp.where(mask, rsq, jnp.ones_like(rsq)), fsq)
         r2inv = 1.0 / rsq_s
         r6inv = r2inv * r2inv * r2inv
         fpair = r6inv * (l1 * r6inv - l2) * r2inv * w

@@ -25,6 +25,16 @@ from ..system import System
 from .cells import minimum_image
 
 
+# LJ evaluation floor: interactions closer than 0.75*sigma are evaluated AT
+# 0.75*sigma.  Physical pairs never get there (the WCA wall is ~100 kT), but
+# special/bonded pairs — whose LJ is computed at full strength by the
+# exclusion-free kernels and subtracted in the correction pass — may
+# interpenetrate freely; without the floor their r^-12 overflows f32 and
+# poisons the force sums (inf - inf).  The floor is applied identically in
+# every path so kernel and correction cancel exactly.
+_RSQ_FLOOR_FRAC = 0.5625  # (0.75 sigma)^2
+
+
 def _lj_tables(system: System, dtype):
     p = system.pair
     eps = jnp.asarray(p.epsilon, dtype)
@@ -40,14 +50,15 @@ def _lj_tables(system: System, dtype):
         offset = lj3 / (rc6 * rc6) - lj4 / rc6
     else:
         offset = jnp.zeros_like(eps)
-    return lj1, lj2, lj3, lj4, cut**2, offset
+    floorsq = _RSQ_FLOOR_FRAC * sig * sig
+    return lj1, lj2, lj3, lj4, cut**2, offset, floorsq
 
 
 def _pair_terms(rsq, ti, tj, tables):
     """fpair (force/r) and pair energy for given type pair; zero beyond cutoff."""
-    lj1, lj2, lj3, lj4, cutsq, offset = tables
+    lj1, lj2, lj3, lj4, cutsq, offset, floorsq = tables
     one = jnp.ones_like(rsq)
-    r2inv = one / jnp.maximum(rsq, 1e-12)
+    r2inv = one / jnp.maximum(rsq, floorsq[ti, tj])
     r6inv = r2inv * r2inv * r2inv
     l1 = lj1[ti, tj]
     l2 = lj2[ti, tj]

@@ -50,7 +50,8 @@ def uniform_lj(system: System):
     lj3 = 4.0 * e * s6 * s6
     lj4 = 4.0 * e * s6
     off = lj3 / c**12 - lj4 / c**6 if p.shift else 0.0
-    return lj1, lj2, lj3, lj4, c * c, off
+    floorsq = 0.5625 * s * s  # LJ evaluation floor (ops.pair._RSQ_FLOOR_FRAC)
+    return lj1, lj2, lj3, lj4, c * c, off, floorsq
 
 
 def pallas_available(system: System) -> bool:
@@ -59,7 +60,7 @@ def pallas_available(system: System) -> bool:
 
 def _make_kernel(coeffs, tile, wmax, strides, cap):
     # plain python floats embed as literals (captured arrays are rejected)
-    lj1, lj2, lj3, lj4, cutsq, eoff = (float(v) for v in coeffs)
+    lj1, lj2, lj3, lj4, cutsq, eoff, floorsq = (float(v) for v in coeffs)
     sx, sy, sz = strides
     win = tile + 2 * wmax
     win = -(-win // 128) * 128
@@ -112,7 +113,8 @@ def _make_kernel(coeffs, tile, wmax, strides, cap):
             rsq = dx * dx + dy * dy + dz * dz
 
             mask = (rsq < cutsq) & (rsq > 0.0)
-            rsq_s = jnp.where(mask, rsq, jnp.float32(1.0))
+            rsq_s = jnp.maximum(jnp.where(mask, rsq, jnp.float32(1.0)),
+                                jnp.float32(floorsq))
             r2 = 1.0 / rsq_s
             r6 = r2 * r2 * r2
             fpair = jnp.where(mask, r6 * (lj1 * r6 - lj2) * r2,

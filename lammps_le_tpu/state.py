@@ -26,6 +26,7 @@ FLAG_NEIGHBOR_OVERFLOW = 2   # a bead had more candidates than max_neighbors
 FLAG_SKIN_VIOLATION = 4      # displacement since rebuild exceeded skin/2
 FLAG_FENE_CLAMP = 8          # FENE rlogarg clamped (bond_fene.cpp:87-92)
 FLAG_EXTRUDER_OVERFLOW = 16  # ex_load wanted more extruders than table slots
+FLAG_NON_FINITE = 32         # non-finite energy observed (blown-up dynamics)
 
 
 @struct.dataclass

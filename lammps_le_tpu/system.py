@@ -54,7 +54,7 @@ class NeighborConfig:
     nz: int = 1
     cell_cap: int = 8              # max beads per cell
     max_neighbors: int = 32        # verlet list width (full list, both i<j and i>j)
-    rebuild_every: int = 10
+    rebuild_every: int = 1
     use_cells: bool = True         # False => O(N^2) bruteforce (small systems)
     # 'grid' = dense cell-grid stencil (TPU-native, no big gathers);
     # 'verlet' = compacted (N, K) list (CPU/testing reference path)
@@ -150,7 +150,7 @@ def make_neighbor_config(
     skin: float = 0.4,
     cell_cap: int = 8,
     max_neighbors: int = 32,
-    rebuild_every: int = 10,
+    rebuild_every: int = 1,
     mode: str = "grid",
 ) -> NeighborConfig:
     """Choose a static cell grid for the box.
@@ -220,7 +220,7 @@ def build_system(
     skin: float = 0.4,
     cell_cap: Optional[int] = None,
     max_neighbors: int = 32,
-    rebuild_every: int = 10,
+    rebuild_every: int = 1,
     max_extruders: int = 0,
     dtype: str = "float32",
     neighbor_mode: str = "grid",

@@ -22,7 +22,12 @@ def min_image_np(d, box):
 
 
 def lj_np(x, box, eps, sig, rc, shift=False, excl=None):
-    """O(N^2) LJ forces + energy. excl: set of frozenset pairs fully excluded."""
+    """O(N^2) LJ forces + energy. excl: set of frozenset pairs fully excluded.
+
+    Applies the engine's LJ evaluation floor at 0.75*sigma (see
+    ops.pair._RSQ_FLOOR_FRAC) — part of the engine spec, keeping
+    interpenetrating special pairs finite in f32.
+    """
     n = len(x)
     f = np.zeros((n, 3))
     e = 0.0
@@ -37,6 +42,7 @@ def lj_np(x, box, eps, sig, rc, shift=False, excl=None):
             r2 = d @ d
             if r2 >= rc * rc:
                 continue
+            r2 = max(r2, 0.5625 * sig * sig)
             sr6 = (sig * sig / r2) ** 3
             fpair = (48 * eps * sr6 * sr6 - 24 * eps * sr6) / r2
             f[i] += d * fpair

@@ -1,0 +1,101 @@
+"""End-to-end deck front end: parse -> build -> run -> write -> restart."""
+
+import os
+
+import numpy as np
+
+from lammps_le_tpu.deck import DeckRunner
+from lammps_le_tpu.io.data import read_data, write_data
+from lammps_le_tpu.scene import serpentine
+
+DECK = """
+units lj
+atom_style bond
+special_bonds fene
+read_data data.tiny
+neighbor 0.3 bin
+bond_style hybrid
+bond_coeff 1 fene 30.0 1.5 1.0 1.0
+bond_coeff 2 harmonic 10.0 1.1
+pair_style lj/cut 1.12
+pair_modify shift yes
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
+fix 1 all nve
+fix 2 all langevin 1.0 1.0 10.0 904297
+fix loop all extrusion 10 1 2 3 0.5 2 4
+fix loading all ex_load 10 1 1 1.12 2 prob 0.5 684474 iparam 1 1 jparam 1 1
+fix unloading all ex_unload 10 2 0.5 prob 0.1 456456
+thermo 20
+timestep 0.005
+run 40
+write_data out.data
+write_restart out.ckpt.npz
+run 20
+"""
+
+
+def _write_tiny(td):
+    data = serpentine(300, seed=7, n_atom_types=4, n_bond_types=2,
+                      barrier_fraction=0.02)
+    write_data(os.path.join(td, "data.tiny"), data)
+
+
+def test_deck_end_to_end(tmp_path):
+    td = str(tmp_path)
+    _write_tiny(td)
+    with open(os.path.join(td, "in.tiny"), "w") as fh:
+        fh.write(DECK)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(os.path.join(td, "in.tiny"))
+    assert int(r.state.step) == 60
+    assert r.last_perf["steps"] == 20
+    # LE machinery ran
+    assert int(r.state.n_loads) > 0
+    # outputs exist and round-trip
+    out = read_data(os.path.join(td, "out.data"))
+    assert out.n_atoms == 300
+    assert os.path.exists(os.path.join(td, "out.ckpt.npz"))
+    # no sticky error flags
+    assert int(r.state.flags) == 0, hex(int(r.state.flags))
+
+
+def test_deck_restart_resume(tmp_path):
+    td = str(tmp_path)
+    _write_tiny(td)
+    with open(os.path.join(td, "in.tiny"), "w") as fh:
+        fh.write(DECK)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(os.path.join(td, "in.tiny"))
+    x_after = np.asarray(r.state.x)
+
+    # resume from the checkpoint (written at step 40) and replay 20 steps:
+    # bitwise identical to the original trajectory
+    r2 = DeckRunner(dtype="float32", quiet=True)
+    r2.root = td
+    for line in DECK.strip().splitlines():
+        line = line.strip()
+        if not line or line.startswith("run") or line.startswith("write"):
+            continue
+        if line.startswith("velocity"):
+            continue  # velocities come from the checkpoint
+        parts = line.split()
+        r2.command(parts[0], parts[1:])
+    r2.command("read_restart", ["out.ckpt.npz"])
+    assert int(r2.state.step) == 40
+    r2.command("run", ["20"])
+    np.testing.assert_array_equal(np.asarray(r2.state.x), x_after)
+
+
+def test_deck_dump(tmp_path):
+    td = str(tmp_path)
+    _write_tiny(td)
+    deck = DECK.replace("run 40", "dump d1 all xyz 20 traj.xyz\nrun 40")
+    deck = deck.split("write_data")[0]
+    with open(os.path.join(td, "in.tiny"), "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(os.path.join(td, "in.tiny"))
+    traj = open(os.path.join(td, "traj.xyz")).read().splitlines()
+    # two frames of 300 atoms + 2 headers each
+    assert traj.count("300") >= 2
