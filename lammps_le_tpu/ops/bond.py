@@ -49,10 +49,14 @@ def _bond_terms(rsq, btype, system: System, dtype):
     rlogarg = jnp.where(clamped, jnp.asarray(0.1, dtype), rlogarg)
     f_fene = -k / rlogarg
     e_fene = -0.5 * k * r0sq * jnp.log(rlogarg)
-    sr2 = sig * sig / rsq
+    # WCA term floored at (0.75 sigma)^2 like the pair kernels
+    # (ops.pair._RSQ_FLOOR_FRAC): bounds the restoring force so hot beads
+    # penetrating the wall cannot drive velocity-Verlet unstable
+    rsq_w = jnp.maximum(rsq, 0.5625 * sig * sig)
+    sr2 = sig * sig / rsq_w
     sr6 = sr2 * sr2 * sr2
     wca = rsq < _TWO_1_3 * sig * sig
-    f_fene = f_fene + jnp.where(wca, 48.0 * eps * sr6 * (sr6 - 0.5) / rsq, 0.0)
+    f_fene = f_fene + jnp.where(wca, 48.0 * eps * sr6 * (sr6 - 0.5) / rsq_w, 0.0)
     e_fene = e_fene + jnp.where(wca, 4.0 * eps * sr6 * (sr6 - 1.0) + eps, 0.0)
 
     # --- harmonic ---

@@ -63,8 +63,9 @@ def fene_np(x, box, bonds, k, r0, eps, sig):
         fbond = -k / rlog
         e += -0.5 * k * r0 * r0 * np.log(rlog)
         if r2 < 2 ** (1 / 3) * sig * sig:
-            sr6 = (sig * sig / r2) ** 3
-            fbond += 48 * eps * sr6 * (sr6 - 0.5) / r2
+            r2w = max(r2, 0.5625 * sig * sig)  # engine WCA floor
+            sr6 = (sig * sig / r2w) ** 3
+            fbond += 48 * eps * sr6 * (sr6 - 0.5) / r2w
             e += 4 * eps * sr6 * (sr6 - 1) + eps
         f[i] += d * fbond
         f[j] -= d * fbond
