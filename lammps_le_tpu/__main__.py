@@ -1,0 +1,41 @@
+"""Command-line entry point — the ``lmp -in deck`` analog
+(reference: src/main.cpp:34-53).
+
+    python -m lammps_le_tpu -in in.chain [-var name value ...] \
+        [-log log.txt] [-dtype float32] [-quiet]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="lammps_le_tpu")
+    ap.add_argument("-in", dest="infile", required=True,
+                    help="input deck (LAMMPS script subset)")
+    ap.add_argument("-var", dest="vars", nargs=2, action="append",
+                    default=[], metavar=("NAME", "VALUE"),
+                    help="deck variable (like lmp -var)")
+    ap.add_argument("-log", dest="log", default=None)
+    ap.add_argument("-dtype", default="float32",
+                    choices=["float32", "float64"])
+    ap.add_argument("-quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    from .deck import DeckRunner
+    from .deck.parser import parse_file
+    import os
+
+    runner = DeckRunner(dtype=args.dtype, quiet=args.quiet)
+    if args.log:
+        runner.command("log", [args.log])
+    runner.root = os.path.dirname(os.path.abspath(args.infile)) or "."
+    deck = parse_file(args.infile, variables=dict(args.vars))
+    runner.execute(deck)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,7 +51,10 @@ class DeckRunner:
         self.masses: Dict[int, float] = {}
         self.dt: Optional[float] = None
         self.thermo_every = 0
-        self.thermo_columns = ["step", "temp", "epair", "ebond", "etotal"]
+        self.thermo_columns = ["step", "temp", "epair", "emol", "etotal",
+                               "press", "extruders"]
+        self.computes = {}
+        self.restart_every = 0
         self.fixes: Dict[str, object] = {}
         self.groups: Dict[str, np.ndarray] = {}
         self.velocity_cmds: List = []
@@ -209,6 +212,46 @@ class DeckRunner:
 
     def cmd_thermo_style(self, args):
         self.thermo_columns = args[1:] if args and args[0] == "custom" else args
+
+    def cmd_compute(self, args):
+        """compute ID group style — gyration and msd diagnostics
+        (reference: src/compute_gyration.cpp, src/compute_msd.cpp)."""
+        cid, group, style = args[0], args[1], args[2]
+        if style not in ("gyration", "msd"):
+            raise DeckError(f"unsupported compute style {style}")
+        if not hasattr(self, "computes"):
+            self.computes = {}
+        self.computes[cid] = {"style": style, "group": group, "x0": None}
+
+    def cmd_uncompute(self, args):
+        getattr(self, "computes", {}).pop(args[0], None)
+
+    def cmd_restart(self, args):
+        """restart N file — periodic checkpoints (written at thermo
+        boundaries that hit a multiple of N)."""
+        self.restart_every = int(args[0])
+        self.restart_path = args[1] if len(args) > 1 else "restart.npz"
+
+    def _unwrapped(self, st):
+        import jax.numpy as jnp
+
+        box = jnp.asarray(self.system.box_size, st.x.dtype)
+        return st.x + st.img.astype(st.x.dtype) * box
+
+    def _compute_value(self, cid, st):
+        import jax.numpy as jnp
+
+        spec = self.computes[cid]
+        xu = self._unwrapped(st)
+        if spec["style"] == "gyration":
+            com = jnp.mean(xu, axis=0)
+            return float(jnp.sqrt(jnp.mean(jnp.sum((xu - com) ** 2, axis=-1))))
+        if spec["style"] == "msd":
+            if spec["x0"] is None:
+                spec["x0"] = xu
+            d = xu - spec["x0"]
+            return float(jnp.mean(jnp.sum(d * d, axis=-1)))
+        raise DeckError(cid)
 
     def cmd_log(self, args):
         if self.log_fh:
@@ -415,12 +458,32 @@ class DeckRunner:
         self._apply_velocity_cmds()
 
         groups = self._resolved_groups()
+        # honor thermo_style custom columns (reference: thermo.cpp keyword
+        # list); LAMMPS keyword -> internal field
+        keymap = {"step": "step", "temp": "temp", "epair": "epair",
+                  "emol": "ebond", "ebond": "ebond", "etotal": "etotal",
+                  "ke": "ke", "press": "press", "pe": "pe",
+                  "extruders": "n_extruders", "vol": "vol",
+                  "density": "density"}
         names = {"step": "Step", "temp": "Temp", "epair": "E_pair",
                  "ebond": "E_mol", "etotal": "TotEng", "ke": "KinEng",
-                 "press": "Press", "n_extruders": "Extruders"}
-        cols = [c for c in ("step", "temp", "epair", "ebond", "etotal",
-                            "press", "n_extruders")]
-        self.log(" ".join(f"{names[c]:>12}" for c in cols))
+                 "press": "Press", "pe": "PotEng", "vol": "Volume",
+                 "density": "Density", "n_extruders": "Extruders"}
+        cols = []
+        headers = []
+        for c in self.thermo_columns:
+            if c in keymap:
+                cols.append(keymap[c])
+                headers.append(names[keymap[c]])
+            elif c.startswith("c_") and c[2:] in getattr(self, "computes", {}):
+                cols.append(c)
+                headers.append(c)
+            # unknown columns silently skipped
+        if not cols:
+            cols = ["step", "temp", "epair", "ebond", "etotal", "press",
+                    "n_extruders"]
+            headers = [names[c] for c in cols]
+        self.log(" ".join(f"{h:>12}" for h in headers))
 
         from ..observe.pressure import make_pressure_fn
 
@@ -434,12 +497,28 @@ class DeckRunner:
         norm = 1.0 / self.system.n if self.units == "lj" else 1.0
         extensive = {"epair", "ebond", "etotal", "ke"}
 
+        vol = float(np.prod(np.asarray(self.system.box_size)))
+
         def emit(row, st=None):
             vals = row._asdict()
             txt = []
             for c in cols:
                 if c == "press":
                     txt.append(f"{float(press_fn(st)) if st is not None else 0.0:>12.6g}")
+                    continue
+                if c == "vol":
+                    txt.append(f"{vol:>12.6g}")
+                    continue
+                if c == "density":
+                    txt.append(f"{self.system.n / vol:>12.6g}")
+                    continue
+                if c == "pe":
+                    fv = (float(vals["epair"]) + float(vals["ebond"])) * norm
+                    txt.append(f"{fv:>12.6g}")
+                    continue
+                if c.startswith("c_"):
+                    txt.append(f"{self._compute_value(c[2:], st):>12.6g}"
+                               if st is not None else f"{0.0:>12.6g}")
                     continue
                 v = vals[c]
                 if c in ("step", "n_extruders"):
@@ -448,6 +527,12 @@ class DeckRunner:
                     fv = float(v) * (norm if c in extensive else 1.0)
                     txt.append(f"{fv:>12.6g}")
             self.log(" ".join(txt))
+            # periodic restart files at thermo boundaries
+            if getattr(self, "restart_every", 0) and st is not None and \
+                    int(row.step) and int(row.step) % self.restart_every == 0:
+                from ..io.checkpoint import save_checkpoint
+
+                save_checkpoint(os.path.join(self.root, self.restart_path), st)
 
         from ..io.dump import run_with_dumps
 
@@ -507,6 +592,25 @@ class DeckRunner:
                 raise DeckError(f"unsupported group style {style}")
             out[name] = mask
         return out
+
+    def cmd_min_style(self, args):
+        if args[0] != "fire":
+            raise DeckError("only min_style fire is supported")
+
+    def cmd_minimize(self, args):
+        """minimize etol ftol maxiter maxeval (reference: src/min_fire.cpp);
+        etol/maxeval accepted for syntax parity, convergence is on ftol."""
+        from ..integrate.fire import minimize
+
+        ftol = float(args[1]) if len(args) > 1 else 1e-4
+        maxiter = int(args[2]) if len(args) > 2 else 1000
+        if self._dirty or self.sim is None:
+            self._build()
+        self._apply_velocity_cmds()
+        state, it, fmax = minimize(self.sim, self.state, ftol=ftol,
+                                   maxiter=maxiter)
+        self.state = state
+        self.log(f"Minimization: {it} iterations, max|F| = {fmax:.6g}")
 
     def cmd_write_data(self, args):
         from ..io.data import DataFile, write_data
