@@ -114,7 +114,7 @@ def config1(quick=False):
 
 
 def _extrusion_run(name, n_beads, fixes, steps, seed_extruders=0,
-                   spacing=None, rebuild_every=3, cell_cap=None):
+                   spacing=None, rebuild_every=1, cell_cap=None):
     import jax
     import jax.numpy as jnp
 
@@ -123,17 +123,23 @@ def _extrusion_run(name, n_beads, fixes, steps, seed_extruders=0,
     from lammps_le_tpu.state import init_state
 
     system, data = _chain_system(
-        1, n_beads, rebuild_every=rebuild_every,
+        1, n_beads, rebuild_every=rebuild_every, skin=0.25,
         max_extruders=max(64, n_beads // 3),
         **({"cell_cap": cell_cap} if cell_cap else {}),
     )
     sim = Simulation(
-        system=system, dt=0.012,
+        system=system, dt=0.006,
         fixes=(NVE(), Langevin(t_start=1.0, t_stop=1.0, damp=10.0,
                                seed=904297)) + tuple(fixes),
         ex_btype=2,
     )
     state = init_state(system, data.x, types=data.types, seed=3)
+    # thermalize the serpentine start before any extruders exist
+    warm = Simulation(system=system, dt=0.003,
+                      fixes=(NVE(), Langevin(t_start=1.0, t_stop=1.0,
+                                             damp=1.0, seed=7)), ex_btype=2)
+    state, _ = run(warm, state, 300)
+    state = state.replace(flags=jnp.zeros((), jnp.uint32))
     if seed_extruders:
         e = state.ex_left.shape[0]
         sp = spacing or max(4, n_beads // seed_extruders)
@@ -211,14 +217,15 @@ bond_coeff 2 harmonic 10.0 1.1
 pair_style lj/cut 1.12
 pair_modify shift yes
 pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
 fix 1 all nve
 fix 2 all langevin 1.0 1.0 10.0 904297
 fix loop all extrusion 175 1 2 3 0.5 2 4
 fix loading all ex_load 70 1 1 1.12 2 prob 0.001 684474 iparam 1 1 jparam 1 1
 fix unloading all ex_unload 70 2 0.5 prob 0.001 456456
 thermo {steps}
-timestep 0.012
-run 100
+timestep 0.006
+run 300
 run {steps}
 """
         path = os.path.join(td, "in.le")
