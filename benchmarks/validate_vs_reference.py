@@ -1,0 +1,248 @@
+"""A/B physics validation against the actual reference binary.
+
+Builds require the reference tree and a compiled ``lmp`` (serial build of
+polly-code/lammps_le, e.g. /tmp/lmpbuild/lmp).  Two experiments:
+
+1. **chain thermo**: run bench/in.chain N steps in both engines from the
+   same data file; compare time-averaged Temp / E_pair / E_mol (different
+   Langevin RNG streams -> statistical comparison).
+2. **extrusion kinetics**: a 1000-bead chain with one pre-seeded extruder
+   and ``fix extrusion`` (no barriers, through_prob 1.0): loop size vs
+   time must match exactly in expectation (deterministic 2 beads/event in
+   both engines) and with CTCF barriers the stall position must match.
+
+Usage: python benchmarks/validate_vs_reference.py /path/to/lmp
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/bench"
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_lmp(lmp, deck_text, workdir):
+    path = os.path.join(workdir, "in.run")
+    with open(path, "w") as fh:
+        fh.write(deck_text)
+    out = subprocess.run([lmp, "-in", path, "-log", "none"],
+                         capture_output=True, text=True, cwd=workdir,
+                         timeout=3600)
+    if out.returncode != 0:
+        raise RuntimeError(out.stdout[-3000:] + out.stderr[-2000:])
+    return out.stdout
+
+
+def parse_thermo(text):
+    """Extract thermo table rows (Step Temp E_pair E_mol TotEng Press)."""
+    rows = []
+    grab = False
+    for line in text.splitlines():
+        if re.match(r"\s*Step\s+Temp", line):
+            grab = True
+            continue
+        if grab:
+            m = re.match(r"\s*(\d+)\s+([-\d.eE+]+)\s+([-\d.eE+]+)\s+"
+                         r"([-\d.eE+]+)\s+([-\d.eE+]+)", line)
+            if m:
+                rows.append([float(g) for g in m.groups()])
+            else:
+                grab = False
+    return np.asarray(rows)
+
+
+def validate_chain(lmp, steps=1000):
+    """Statistical thermo parity on the 32k chain bench."""
+    with tempfile.TemporaryDirectory() as td:
+        os.symlink(os.path.join(REF, "data.chain"),
+                   os.path.join(td, "data.chain"))
+        deck = open(os.path.join(REF, "in.chain")).read()
+        deck = deck.replace("run\t\t100", f"thermo 100\nrun {steps}")
+        log("running reference lmp chain ...")
+        text = run_lmp(lmp, deck, td)
+        ref_rows = parse_thermo(text)
+
+    from lammps_le_tpu.deck import DeckRunner
+
+    log("running lammps_le_tpu chain ...")
+    r = DeckRunner(dtype="float32", quiet=True)
+    rows_ours = []
+    r.run_file(os.path.join(REF, "in.chain"))
+
+    from lammps_le_tpu.integrate import run as run_loop, thermo_row
+
+    state, rows = run_loop(r.sim, r.state, steps, thermo_every=100)
+    n = r.system.n
+    ours = np.asarray([
+        [float(x.step), float(x.temp), float(x.epair) / n,
+         float(x.ebond) / n, float(x.etotal) / n] for x in rows
+    ])
+
+    # compare time-averaged steady-state values (skip the first 30%)
+    k = len(ref_rows) // 3
+    ref_m = ref_rows[k:, 1:5].mean(axis=0)
+    our_m = ours[k:, 1:5].mean(axis=0)
+    labels = ["Temp", "E_pair", "E_mol", "TotEng"]
+    ok = True
+    for lab, a, b in zip(labels, ref_m, our_m):
+        rel = abs(a - b) / max(abs(a), 1e-9)
+        status = "OK" if rel < 0.02 else "MISMATCH"
+        if rel >= 0.02:
+            ok = False
+        print(f"chain {lab:>7}: ref={a:.5f} ours={b:.5f} rel={rel:.4f} {status}")
+    return ok
+
+
+LE_DECK_REF = """
+units lj
+atom_style bond
+special_bonds fene
+read_data data.le
+neighbor 0.4 bin
+neigh_modify every 1 delay 1
+bond_style hybrid fene harmonic
+bond_coeff 1 fene 30.0 1.5 1.0 1.0
+bond_coeff 2 harmonic 3.0 1.1
+pair_style lj/cut 1.12
+pair_modify shift yes
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
+fix 1 all nve
+fix 2 all langevin 1.0 1.0 10.0 904297
+fix loop all extrusion {nevery} 1 2 3 {prob} 2 4
+compute bl all property/local btype batom1 batom2
+dump bonds all local {dump_every} bonds.dump c_bl[1] c_bl[2] c_bl[3]
+timestep 0.006
+run {steps}
+"""
+
+
+def make_le_data(n_beads=1000, extruder_at=None, barriers=None):
+    from lammps_le_tpu.io.data import DataFile, write_data
+    from lammps_le_tpu.scene import serpentine
+
+    data = serpentine(n_beads, seed=3, n_atom_types=4, n_bond_types=2)
+    if barriers:
+        for bead, t in barriers.items():
+            data.types[bead] = t - 1
+    if extruder_at is not None:
+        l, r = extruder_at
+        bonds = np.concatenate(
+            [data.bonds, np.asarray([[1, l, r]], np.int64)], axis=0
+        )
+        data.bonds = bonds
+        data.n_bonds = len(bonds)
+    return data
+
+
+def parse_bond_dump(path, btype=2):
+    """timestep -> list of (i, j) extruder bonds from a local dump."""
+    frames = {}
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    i = 0
+    while i < len(lines):
+        if lines[i] == "ITEM: TIMESTEP":
+            ts = int(lines[i + 1])
+            while i < len(lines) and not lines[i].startswith("ITEM: ENTRIES"):
+                i += 1
+            i += 1
+            ent = []
+            while i < len(lines) and not lines[i].startswith("ITEM:"):
+                parts = lines[i].split()
+                if len(parts) == 3 and int(float(parts[0])) == btype:
+                    ent.append((int(float(parts[1])), int(float(parts[2]))))
+                i += 1
+            frames[ts] = ent
+        else:
+            i += 1
+    return frames
+
+
+def validate_extrusion_kinetics(lmp, n_beads=1000, nevery=50, steps=1000):
+    """Loop growth must be 2 beads/event in both engines (no barriers)."""
+    with tempfile.TemporaryDirectory() as td:
+        from lammps_le_tpu.io.data import write_data
+
+        data = make_le_data(n_beads, extruder_at=(498, 502))
+        write_data(os.path.join(td, "data.le"), data)
+        deck = LE_DECK_REF.format(nevery=nevery, prob=1.0,
+                                  dump_every=nevery, steps=steps)
+        log("running reference lmp extrusion ...")
+        text = run_lmp(lmp, deck, td)
+        frames = parse_bond_dump(os.path.join(td, "bonds.dump"))
+
+    ref_sizes = {ts: (max(b[1] for b in ent) - min(b[0] for b in ent))
+                 for ts, ent in frames.items() if ent}
+
+    # ours
+    import jax.numpy as jnp
+
+    from lammps_le_tpu.deck import DeckRunner
+
+    with tempfile.TemporaryDirectory() as td:
+        from lammps_le_tpu.io.data import write_data
+
+        data = make_le_data(n_beads, extruder_at=(498, 502))
+        write_data(os.path.join(td, "data.le"), data)
+        deck = LE_DECK_REF.format(nevery=nevery, prob=1.0,
+                                  dump_every=nevery, steps=0)
+        deck = "\n".join(l for l in deck.splitlines()
+                         if not l.startswith(("compute", "dump", "run")))
+        with open(os.path.join(td, "in.le"), "w") as fh:
+            fh.write(deck)
+        r = DeckRunner(dtype="float32", quiet=True)
+        r.run_file(os.path.join(td, "in.le"))
+        our_sizes = {}
+        from lammps_le_tpu.integrate import run as run_loop
+
+        st = r.state
+        if r.sim is None:
+            r.command("run", ["0"])
+            st = r.state
+        for _ in range(steps // nevery):
+            r.command("run", [str(nevery)])
+            st = r.state
+            act = np.asarray(st.ex_left) >= 0
+            if act.any():
+                l = np.asarray(st.ex_left)[act][0]
+                rr = np.asarray(st.ex_right)[act][0]
+                our_sizes[int(st.step)] = int(rr - l)
+
+    print("extrusion loop size vs time (span in beads):")
+    ok = True
+    for ts in sorted(our_sizes):
+        ref = ref_sizes.get(ts)
+        ours = our_sizes[ts]
+        match = "OK" if ref is not None and abs(ref - ours) <= 2 else "?"
+        if ref is not None and abs(ref - ours) > 2:
+            ok = False
+        print(f"  step {ts:>6}: ref={ref} ours={ours} {match}")
+    return ok
+
+
+def main():
+    lmp = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lmpbuild/lmp"
+    if not os.path.exists(lmp):
+        print(f"reference binary {lmp} not found", file=sys.stderr)
+        return 1
+    ok1 = validate_chain(lmp)
+    ok2 = validate_extrusion_kinetics(lmp)
+    print("PASS" if (ok1 and ok2) else "FAIL")
+    return 0 if (ok1 and ok2) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

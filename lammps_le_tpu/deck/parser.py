@@ -81,10 +81,40 @@ def parse_deck(text: str, variables: Optional[dict] = None) -> Deck:
             continue
         name, args = parts[0], parts[1:]
         if name == "variable" and len(args) >= 3 and args[1] in ("equal", "string", "index"):
-            variables[args[0]] = args[2]
+            value = " ".join(args[2:])
+            if args[1] == "equal":
+                value = _eval_expr(value, variables)
+            variables[args[0]] = value
             continue
         cmds.append(Command(name=name, args=args, raw=line))
     return Deck(commands=cmds)
+
+
+def _eval_expr(text: str, variables: dict):
+    """Arithmetic subset of equal-style variables
+    (reference: src/variable.cpp:5223 supports a full expression language;
+    decks in the LE workflow use numbers and simple arithmetic).
+    Supports + - * / ^ ( ), numeric literals, and v_name references."""
+    import ast
+    import re as _re
+
+    expr = _re.sub(r"v_(\w+)", lambda m: str(variables[m.group(1)]), text)
+    expr = expr.replace("^", "**")
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError:
+        return text  # not arithmetic: keep as string
+
+    allowed = (ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant,
+               ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Pow, ast.USub,
+               ast.UAdd, ast.Mod, ast.FloorDiv)
+    for node in ast.walk(tree):
+        if not isinstance(node, allowed):
+            return text
+    value = eval(compile(tree, "<variable>", "eval"), {"__builtins__": {}})
+    if isinstance(value, float) and value.is_integer():
+        return int(value)
+    return value
 
 
 def parse_file(path: str, variables: Optional[dict] = None) -> Deck:

@@ -310,6 +310,18 @@ class DeckRunner:
                     kw["imaxbond"] = int(rest[i + 1]); kw["inewtype"] = int(rest[i + 2]); i += 3
                 elif k == "jparam":
                     kw["jmaxbond"] = int(rest[i + 1]); kw["jnewtype"] = int(rest[i + 2]); i += 3
+                elif k in ("atype", "dtype", "itype"):
+                    # angle/dihedral/improper creation hooks
+                    # (fix_ex_load.cpp:107-121, 747-749): parsed for deck
+                    # compatibility; LE decks never define angle styles, so a
+                    # nonzero value has nothing to attach to
+                    if int(rest[i + 1]) != 0:
+                        raise DeckError(
+                            "ex_load atype/dtype/itype: angle/dihedral/"
+                            "improper creation requires angle styles, which "
+                            "this engine does not define (LE decks use none)"
+                        )
+                    i += 2
                 else:
                     raise DeckError(f"unsupported ex_load keyword {k}")
             fix = ExLoad(
