@@ -105,11 +105,17 @@ def validate_chain(lmp, steps=1000):
     return ok
 
 
+# The USER-LE fixes count bond incidence via per-atom stored bonds
+# (fix_extrusion.cpp:398-429 requires num_bond==2 on interior beads), which
+# only holds when every bond is stored on BOTH atoms: the fork's workflow
+# runs `newton off` with direction-duplicated Bonds sections (see
+# ntopo_bond_all.cpp:66 deduplicating i<atom1 for forces).
 LE_DECK_REF = """
 units lj
+newton off
 atom_style bond
 special_bonds fene
-read_data data.le
+read_data data.le extra/bond/per/atom 2 extra/special/per/atom 8
 neighbor 0.4 bin
 neigh_modify every 1 delay 1
 bond_style hybrid fene harmonic
@@ -119,6 +125,13 @@ pair_style lj/cut 1.12
 pair_modify shift yes
 pair_coeff * * 1.0 1.0 1.12
 velocity all create 1.0 87287
+fix lim all nve/limit 0.05
+fix t0 all langevin 1.0 1.0 1.0 904297
+timestep 0.003
+run 500
+unfix lim
+unfix t0
+reset_timestep 0
 fix 1 all nve
 fix 2 all langevin 1.0 1.0 10.0 904297
 fix loop all extrusion {nevery} 1 2 3 {prob} 2 4
@@ -129,7 +142,8 @@ run {steps}
 """
 
 
-def make_le_data(n_beads=1000, extruder_at=None, barriers=None):
+def make_le_data(n_beads=1000, extruder_at=None, barriers=None,
+                 duplicate_bonds=False):
     from lammps_le_tpu.io.data import DataFile, write_data
     from lammps_le_tpu.scene import serpentine
 
@@ -144,6 +158,11 @@ def make_le_data(n_beads=1000, extruder_at=None, barriers=None):
         )
         data.bonds = bonds
         data.n_bonds = len(bonds)
+    if duplicate_bonds:
+        # reference convention: store each bond on both atoms (newton off)
+        rev = data.bonds[:, [0, 2, 1]]
+        data.bonds = np.concatenate([data.bonds, rev], axis=0)
+        data.n_bonds = len(data.bonds)
     return data
 
 
@@ -176,6 +195,8 @@ def validate_extrusion_kinetics(lmp, n_beads=1000, nevery=50, steps=1000):
     with tempfile.TemporaryDirectory() as td:
         from lammps_le_tpu.io.data import write_data
 
+        # newton off makes LAMMPS itself store each data-file bond on both
+        # atoms (Atom::data_bonds) — no manual duplication needed
         data = make_le_data(n_beads, extruder_at=(498, 502))
         write_data(os.path.join(td, "data.le"), data)
         deck = LE_DECK_REF.format(nevery=nevery, prob=1.0,
@@ -199,8 +220,10 @@ def validate_extrusion_kinetics(lmp, n_beads=1000, nevery=50, steps=1000):
         write_data(os.path.join(td, "data.le"), data)
         deck = LE_DECK_REF.format(nevery=nevery, prob=1.0,
                                   dump_every=nevery, steps=0)
+        deck = deck.replace("read_data data.le extra/bond/per/atom 2 "
+                            "extra/special/per/atom 8", "read_data data.le")
         deck = "\n".join(l for l in deck.splitlines()
-                         if not l.startswith(("compute", "dump", "run")))
+                         if not l.startswith(("compute", "dump")))
         with open(os.path.join(td, "in.le"), "w") as fh:
             fh.write(deck)
         r = DeckRunner(dtype="float32", quiet=True)
@@ -233,6 +256,60 @@ def validate_extrusion_kinetics(lmp, n_beads=1000, nevery=50, steps=1000):
     return ok
 
 
+def validate_barrier_stall(lmp, n_beads=1000, nevery=50, steps=1000):
+    """CTCF barriers with through_prob=0: both engines must stall with the
+    anchors pinned exactly at the barrier beads."""
+    barriers = {480: 2, 520: 3}  # ctcf_left at 480, ctcf_right at 520
+
+    def final_span(frames_or_state):
+        return frames_or_state
+
+    with tempfile.TemporaryDirectory() as td:
+        from lammps_le_tpu.io.data import write_data
+
+        data = make_le_data(n_beads, extruder_at=(498, 502),
+                            barriers=barriers)
+        write_data(os.path.join(td, "data.le"), data)
+        deck = LE_DECK_REF.format(nevery=nevery, prob=0.0,
+                                  dump_every=steps, steps=steps)
+        log("running reference lmp barrier stall ...")
+        run_lmp(lmp, deck, td)
+        frames = parse_bond_dump(os.path.join(td, "bonds.dump"))
+        last = frames[max(frames)]
+        ref_anchor = (min(b[0] for b in last), max(b[1] for b in last))
+
+    from lammps_le_tpu.deck import DeckRunner
+
+    with tempfile.TemporaryDirectory() as td:
+        from lammps_le_tpu.io.data import write_data
+
+        data = make_le_data(n_beads, extruder_at=(498, 502),
+                            barriers=barriers)
+        write_data(os.path.join(td, "data.le"), data)
+        deck = LE_DECK_REF.format(nevery=nevery, prob=0.0,
+                                  dump_every=steps, steps=steps)
+        deck = deck.replace("read_data data.le extra/bond/per/atom 2 "
+                            "extra/special/per/atom 8", "read_data data.le")
+        deck = "\n".join(l for l in deck.splitlines()
+                         if not l.startswith(("compute", "dump")))
+        with open(os.path.join(td, "in.le"), "w") as fh:
+            fh.write(deck)
+        r = DeckRunner(dtype="float32", quiet=True)
+        r.run_file(os.path.join(td, "in.le"))
+        st = r.state
+        act = np.asarray(st.ex_left) >= 0
+        our_anchor = (int(np.asarray(st.ex_left)[act][0]) + 1,
+                      int(np.asarray(st.ex_right)[act][0]) + 1)
+
+    # stall semantics: the extruder stops when its *target* bead is the
+    # barrier, so anchors should pin at barrier_left+1 .. barrier_right-1
+    # (1-based: 482 and 520 here) in BOTH engines
+    ok = ref_anchor == our_anchor
+    print(f"barrier stall: ref anchors {ref_anchor} ours {our_anchor} "
+          f"{'OK' if ok else 'MISMATCH'}")
+    return ok
+
+
 def main():
     lmp = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lmpbuild/lmp"
     if not os.path.exists(lmp):
@@ -240,8 +317,9 @@ def main():
         return 1
     ok1 = validate_chain(lmp)
     ok2 = validate_extrusion_kinetics(lmp)
-    print("PASS" if (ok1 and ok2) else "FAIL")
-    return 0 if (ok1 and ok2) else 1
+    ok3 = validate_barrier_stall(lmp)
+    print("PASS" if (ok1 and ok2 and ok3) else "FAIL")
+    return 0 if (ok1 and ok2 and ok3) else 1
 
 
 if __name__ == "__main__":

@@ -91,8 +91,11 @@ class DeckRunner:
     def command(self, name: str, args: List[str], raw: str = ""):
         handler = getattr(self, f"cmd_{name}", None)
         if handler is None:
+            # `newton`: bond storage convention — our topology is
+            # storage-free (full incidence via chain arrays + table), both
+            # settings map to identical physics
             noop = {"comm_modify", "comm_style", "atom_modify", "processors",
-                    "suffix", "package", "echo", "info", "shell"}
+                    "suffix", "package", "echo", "info", "shell", "newton"}
             if name in noop:
                 return
             raise DeckError(f"unsupported command: {raw or name}")
@@ -392,6 +395,22 @@ class DeckRunner:
         for f in self.fixes.values():
             if isinstance(f, (Extrusion, ExLoad, ExUnload)):
                 return f.btype
+        # no LE fix (yet): non-consecutive bonds in the data file still need
+        # the dynamic table (e.g. pre-seeded extruders before the fix is
+        # declared, matching reference decks where `fix extrusion` follows
+        # the warmup runs)
+        if self.data is not None:
+            types = set()
+            for bt, bi, bj in self.data.bonds:
+                if abs(int(bj) - int(bi)) != 1:
+                    types.add(int(bt) + 1)
+            if len(types) == 1:
+                return types.pop()
+            if len(types) > 1:
+                raise DeckError(
+                    f"multiple non-backbone bond types {sorted(types)}; "
+                    "only one dynamic (extruder) bond type is supported"
+                )
         return -1
 
     def _build(self):
