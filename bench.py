@@ -97,7 +97,7 @@ def main():
     # smaller step doubles the velocity-Verlet stability margin against
     # rewiring-induced hot spots penetrating the WCA wall
     sim = Simulation(
-        system=system, dt=0.006,
+        system=system, dt=0.006, energy_every=100,
         fixes=(
             NVE(),
             Langevin(t_start=1.0, t_stop=1.0, damp=10.0, seed=904297),

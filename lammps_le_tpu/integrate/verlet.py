@@ -44,6 +44,9 @@ class Simulation:
     dt: float
     fixes: Tuple = ()
     ex_btype: int = -1  # 1-based bond type of extruder bonds; -1 = none
+    # compute pair energy only every N steps (thermo cadence): the energy
+    # chain is ~15-20% of the pair kernel; 1 = every step
+    energy_every: int = 1
 
     def __post_init__(self):
         if self.ex_btype < 0:
@@ -89,7 +92,7 @@ def thermo_row(state: State, system: System) -> ThermoSample:
     )
 
 
-def _force_pass(state: State, sim: Simulation):
+def _force_pass(state: State, sim: Simulation, energy: bool = True):
     system = sim.system
     partner = None
     ex_l = ex_r = None
@@ -105,6 +108,7 @@ def _force_pass(state: State, sim: Simulation):
         ex_right=ex_r,
         ex_btype=sim.ex_btype - 1,
         ex_partner=partner,
+        energy=energy,
     )
     return fr
 
@@ -250,8 +254,16 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
         # --- neighbor maintenance ---
         state = _maybe_rebuild(state, system)
 
-        # --- forces ---
-        fr = _force_pass(state, sim)
+        # --- forces (pair energy gated to the thermo cadence) ---
+        if sim.energy_every > 1:
+            fr = jax.lax.cond(
+                step_no % sim.energy_every == 0,
+                lambda st: _force_pass(st, sim, True),
+                lambda st: _force_pass(st, sim, False),
+                state,
+            )
+        else:
+            fr = _force_pass(state, sim)
         f_total = fr.f
 
         # --- post force: langevin drag + uniform noise

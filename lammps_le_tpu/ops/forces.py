@@ -113,6 +113,7 @@ def compute_forces(
     ex_right: Optional[jax.Array] = None,
     ex_btype: int = -1,
     ex_partner: Optional[jax.Array] = None,
+    energy: bool = True,
 ) -> ForceResult:
     dtype = x.dtype
     n = system.n
@@ -140,7 +141,8 @@ def compute_forces(
                 if use_pallas:
                     fp, epair = pallas_grid_pair_force(x, types, nbr, system)
                 else:
-                    fp, epair = grid_pair_force(x, types, nbr, system)
+                    fp, epair = grid_pair_force(x, types, nbr, system,
+                                                energy=energy)
                 fc, ec = special_pair_correction(
                     x, types, system, ex_left, ex_right
                 )

@@ -187,6 +187,7 @@ def grid_pair_force(
     system: System,
     ex_partner=None,  # unused: exclusions are corrected outside the kernel
     virial: bool = False,
+    energy: bool = True,
 ):
     """LJ forces + energy from the slot grid — exclusion-free half stencil.
 
@@ -272,7 +273,7 @@ def grid_pair_force(
         r2inv = 1.0 / rsq_s
         r6inv = r2inv * r2inv * r2inv
         fpair = r6inv * (l1 * r6inv - l2) * r2inv * w
-        e = (r6inv * (l3 * r6inv - l4) - eoff) * w
+        e = (r6inv * (l3 * r6inv - l4) - eoff) * w if energy else None
         return dx, dy, dz, fpair, e
 
     # self cell: full i != j (each in-cell pair counted twice; energy halved)
@@ -283,7 +284,8 @@ def grid_pair_force(
     fx = fx + jnp.sum(dx * fpair, axis=1)
     fy = fy + jnp.sum(dy * fpair, axis=1)
     fz = fz + jnp.sum(dz * fpair, axis=1)
-    e_acc = e_acc + 0.5 * jnp.sum(e, axis=1)
+    if energy:
+        e_acc = e_acc + 0.5 * jnp.sum(e, axis=1)
     if virial:
         w_acc = w_acc + 0.5 * jnp.sum(
             fpair * (dx * dx + dy * dy + dz * dz)
@@ -303,7 +305,8 @@ def grid_pair_force(
         fx = fx + jnp.sum(wfx, axis=1)
         fy = fy + jnp.sum(wfy, axis=1)
         fz = fz + jnp.sum(wfz, axis=1)
-        e_acc = e_acc + jnp.sum(e, axis=1)
+        if energy:
+            e_acc = e_acc + jnp.sum(e, axis=1)
         if virial:
             w_acc = w_acc + jnp.sum(wfx * dx + wfy * dy + wfz * dz)
         # Newton reaction on the j cell: reduce over i, shift back by -delta
@@ -318,7 +321,7 @@ def grid_pair_force(
     f = f.at[tgt, 0].add(fx.reshape(-1), mode="drop")
     f = f.at[tgt, 1].add(fy.reshape(-1), mode="drop")
     f = f.at[tgt, 2].add(fz.reshape(-1), mode="drop")
-    epair = jnp.sum(e_acc)
+    epair = jnp.sum(e_acc) if energy else jnp.zeros((), dtype)
     if virial:
         return f[:n], epair, w_acc
     return f[:n], epair
