@@ -111,6 +111,10 @@ def _eval_expr(text: str, variables: dict):
     for node in ast.walk(tree):
         if not isinstance(node, allowed):
             return text
+    if isinstance(tree.body, ast.Constant):
+        # a bare literal: keep the user's spelling ("1.0" stays "1.0",
+        # matching the reference's textual substitution, input.cpp:508)
+        return text
     value = eval(compile(tree, "<variable>", "eval"), {"__builtins__": {}})
     if isinstance(value, float) and value.is_integer():
         return int(value)

@@ -206,8 +206,13 @@ class DeckRunner:
     def cmd_reset_timestep(self, args):
         self.timestep0 = int(args[0])
         if self.state is not None:
+            # advance the PRNG epoch: per-step streams are keyed by
+            # fold_in(key, step), so without this a reset run would replay
+            # the identical Langevin/LE noise sequence
+            self._rng_epoch = getattr(self, "_rng_epoch", 0) + 1
             self.state = self.state.replace(
-                step=jax.numpy.asarray(self.timestep0, jax.numpy.int32)
+                step=jax.numpy.asarray(self.timestep0, jax.numpy.int32),
+                key=jax.random.fold_in(self.state.key, self._rng_epoch),
             )
 
     def cmd_thermo(self, args):

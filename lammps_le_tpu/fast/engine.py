@@ -1,0 +1,981 @@
+"""Grid-resident fast path: the TPU production engine for LE decks.
+
+Motivation (measured on TPU v5e, PERF_NOTES.md): the LJ math of a 32k-bead
+step costs ~1.4 ms, but moving data through *per-element* gathers/scatters
+costs ~10 ns/element + ~0.8 ms/op — the general path's ``xp[slot]`` gather
+(7 ms) and force scatter (6 ms) dominate the step.  This module therefore
+keeps the dynamic state *resident in the cell-grid layout* between neighbor
+rebuilds, so a normal step contains only:
+
+* one whole-column gather refreshing the periodic halo of the position
+  planes (the on-device analog of ``Comm::forward_comm``,
+  reference src/comm_brick.cpp:452);
+* one fused XLA chain evaluating LJ **and** backbone FENE **and** special
+  exclusions in a single full 27-offset stencil pass (pair_lj_cut.cpp:68,
+  bond_fene.cpp:52, force.cpp:787 in one kernel — bonds are recognized by
+  bead-id difference, so no bond list exists at all);
+* one small gather + one small scatter-add for the extruder springs
+  (bond_harmonic.cpp:48) whose length can exceed the stencil reach;
+* elementwise velocity-Verlet + Langevin with counter-based threefry noise
+  keyed by (step, bead id) — halo copies would draw identical noise by
+  construction (fix_langevin.cpp:654, fix_nve.cpp:64).
+
+Re-binning (sort + scatter, the analog of ``Neighbor::build`` +
+``Comm::borders``) runs every ``rebuild_every`` steps; positions wrap only
+then (domain->pbc on reneighbor, src/verlet.cpp:271).  The half-skin safety
+criterion (src/neighbor.cpp:1948) is monitored every step into a sticky
+flag, as is "a backbone bond left the stencil reach" (which would silently
+lose its force here — the moral analog of the reference's "bond atoms
+missing" error, src/ntopo_bond_all.cpp:58).
+
+Supported surface (``fast_supported``): uniform LJ parameters, uniform
+mass, FENE backbone with one bond type, ``special_bonds fene`` (0,1,1),
+fixes NVE + one Langevin + extrusion/ex_load/ex_unload.  Everything else
+runs on the general path (ops/grid.py) — the two paths are
+physics-equivalent (tests/test_fastpath.py pins t=0 forces to 1e-10 and
+NVE trajectories against each other).
+
+All per-step gates (LE fix phases, rebuild cadence, energy cadence) key on
+a *scalar* step counter passed alongside the batched state so that under
+``vmap`` (replica ensembles) they remain true ``lax.cond``s rather than
+decaying into both-branch ``select``s.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..fixes.config import NVE, Extrusion, ExLoad, ExUnload, Langevin
+from ..fixes.ex_load import make_ex_load_update
+from ..fixes.ex_unload import make_ex_unload_update
+from ..fixes.extrusion import make_extrusion_update
+from ..ops.cells import cell_coords, minimum_image, wrap_positions
+from ..ops.grid import _OFFSETS, halo_maps
+from ..ops.pair import _lj_tables
+from ..state import (
+    FLAG_BOND_REACH,
+    FLAG_CELL_OVERFLOW,
+    FLAG_FENE_CLAMP,
+    FLAG_NON_FINITE,
+    FLAG_SKIN_VIOLATION,
+    State,
+)
+from ..system import BOND_FENE, BOND_HARMONIC, System
+
+_FAR = -1.0e4  # sentinel coordinate for empty slots / shifted-out fills
+
+
+# ---------------------------------------------------------------------------
+# static geometry
+
+
+@dataclasses.dataclass(frozen=True)
+class _FastMaps:
+    """Static (numpy) maps shared by placement/halo/kernel."""
+
+    cap: int
+    P: int
+    p_raw: int
+    nxyz: Tuple[int, int, int]
+    strides: Tuple[int, int, int]
+    src_cols: np.ndarray    # (P,) padded source column per padded column
+    interior: np.ndarray    # (P,) bool
+    shifts: np.ndarray      # (P, 3) ghost-image coordinate shifts
+
+
+_MAPS_CACHE: dict = {}
+
+
+def fast_maps(system: System) -> _FastMaps:
+    key = (
+        system.neighbor.nx, system.neighbor.ny, system.neighbor.nz,
+        system.neighbor.cell_cap, system.box_size,
+    )
+    hit = _MAPS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    src_p, int_p, p, strides, shifts = halo_maps(system)
+    cfg = system.neighbor
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    py, pz = ny + 2, nz + 2
+    p_raw = (nx + 2) * py * pz
+    # padded column of each interior (unpadded) cell
+    cx, cy, cz = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    int_cell = (((cx + 1) * py + cy + 1) * pz + cz + 1).reshape(-1)
+    src_cols = np.zeros(p, np.int32)
+    src_cols[:p_raw] = int_cell[src_p[:p_raw]]
+    # lane-padding tail: copy cell 0 but push coordinates far out of range
+    shifts = np.array(shifts, np.float64)
+    if p > p_raw:
+        src_cols[p_raw:] = int_cell[0]
+        box = system.box_size
+        shifts[p_raw:] = [5.0 * box[0], 5.0 * box[1], 5.0 * box[2]]
+    maps = _FastMaps(
+        cap=cfg.cell_cap,
+        P=p,
+        p_raw=p_raw,
+        nxyz=(nx, ny, nz),
+        strides=strides,
+        src_cols=src_cols,
+        interior=np.array(int_p, bool),
+        shifts=shifts,
+    )
+    _MAPS_CACHE[key] = maps
+    return maps
+
+
+# ---------------------------------------------------------------------------
+# state
+
+
+@struct.dataclass
+class FastState:
+    """Grid-resident dynamic state (one replica).
+
+    ``gx/gv/gf`` are (3, cap, P) coordinate planes (component major, flat
+    halo-padded cell axis minor — lane-dense).  ``bid`` holds the bead id
+    per slot (N = empty), ``hn`` whether that bead has a chain-next link,
+    ``pid`` its current extruder partner (-1).  ``slot_of`` maps bead ->
+    flat slot (r * P + column).  All of these are static between rebuilds
+    except ``pid``/extruder slots, which also change at LE events.
+    """
+
+    gx: jax.Array            # (3, cap, P) positions (halo = shifted copies)
+    gv: jax.Array            # (3, cap, P) velocities (interior only valid)
+    gf: jax.Array            # (3, cap, P) forces from last evaluation
+    gx_ref: jax.Array        # (3, cap, P) positions at last rebuild
+    bid: jax.Array           # (cap, P) int32 bead id, N = empty
+    hn: jax.Array            # (cap, P) bool has-chain-next
+    pid: jax.Array           # (cap, P) int32 extruder partner bead id, -1
+    slot_of: jax.Array       # (N,) int32 flat slot of bead (r*P + col)
+    exl_slot: jax.Array      # (E,) int32 flat slot of left anchors
+    exr_slot: jax.Array      # (E,) int32
+    types: jax.Array         # (N,) int32 (bead layout; used by LE fixes)
+    img: jax.Array           # (N, 3) int32 image counters (updated at rebuild)
+    ex_left: jax.Array       # (E,) int32 bead ids
+    ex_right: jax.Array      # (E,) int32
+    key: jax.Array
+    step: jax.Array          # () int32
+    flags: jax.Array         # () uint32
+    epair: jax.Array         # () last evaluated pair energy
+    ebond: jax.Array         # () last evaluated bond energy
+    n_moves: jax.Array
+    n_loads: jax.Array
+    n_unloads: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# support checks
+
+
+def _uniform_pair(system: System) -> bool:
+    pp = system.pair
+    if pp is None:
+        return False
+    return all(
+        bool(np.all(np.asarray(a) == np.asarray(a).flat[0]))
+        for a in (pp.epsilon, pp.sigma, pp.cutoff)
+    )
+
+
+def fast_supported(sim) -> bool:
+    """True when the Simulation can run on the grid-resident fast path."""
+    system = sim.system
+    if not system.neighbor.use_cells or system.neighbor.mode != "grid":
+        return False
+    if not _uniform_pair(system):
+        return False
+    if not bool(np.all(system.masses == system.masses.flat[0])):
+        return False
+    s12, s13, s14 = system.special_lj
+    if s12 != 0.0 or s13 != 1.0 or s14 != 1.0:
+        return False
+    if system.bonds is None:
+        return False
+    bts = np.asarray(system.backbone_type)
+    used = bts[bts >= 0]
+    if used.size and (
+        np.any(used != used[0])
+        or int(system.bonds.style[used[0]]) != BOND_FENE
+    ):
+        return False
+    n_nve = n_lan = 0
+    for f in sim.fixes:
+        if type(f) is NVE:
+            if f.group is not None:
+                return False
+            n_nve += 1
+        elif isinstance(f, Langevin):
+            if f.group is not None:
+                return False
+            n_lan += 1
+        elif isinstance(f, (Extrusion, ExLoad, ExUnload)):
+            continue
+        else:
+            return False
+    if sim.ex_btype > 0:
+        st = int(system.bonds.style[sim.ex_btype - 1])
+        if st not in (BOND_FENE, BOND_HARMONIC):
+            return False
+    return n_nve == 1 and n_lan <= 1
+
+
+# ---------------------------------------------------------------------------
+# placement (rebuild) — sort + one scatter per dtype group
+
+
+def _place(system: System, maps: _FastMaps, x, v, types, ex_left, ex_right,
+           img):
+    """Bin beads into fresh planes.  Returns plane set + overflow flag."""
+    n = system.n
+    cap, P = maps.cap, maps.P
+    dtype = x.dtype
+    nx, ny, nz = maps.nxyz
+    py, pz = ny + 2, nz + 2
+
+    x, img = wrap_positions(x, system, img)
+    c3 = cell_coords(x, system)
+    col = ((c3[:, 0] + 1) * py + c3[:, 1] + 1) * pz + c3[:, 2] + 1
+
+    order = jnp.argsort(col).astype(jnp.int32)
+    scol = col[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), scol[1:] != scol[:-1]])
+    start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, 0))
+    rank = idx - start
+    overflow = jnp.where(
+        jnp.max(rank) >= cap, jnp.uint32(FLAG_CELL_OVERFLOW), jnp.uint32(0)
+    )
+    slot_sorted = jnp.where(rank < cap, rank * P + scol, cap * P)
+    slot_of = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
+
+    capP = cap * P
+    placed = slot_of < capP  # dropped (overflowed) beads scatter nowhere
+
+    def plane_targets(k_planes):
+        return jnp.concatenate([
+            jnp.where(placed, slot_of + k * capP, k_planes * capP)
+            for k in range(k_planes)
+        ])
+
+    # one f32 scatter for x+v (6 components)
+    tgt6 = plane_targets(6)
+    vals6 = jnp.concatenate([x[:, 0], x[:, 1], x[:, 2],
+                             v[:, 0], v[:, 1], v[:, 2]])
+    flat6 = jnp.concatenate([
+        jnp.full((3 * capP,), _FAR, dtype), jnp.zeros((3 * capP,), dtype)
+    ])
+    flat6 = flat6.at[tgt6].set(vals6, mode="drop", unique_indices=True)
+    gx = flat6[: 3 * capP].reshape(3, cap, P)
+    gv = flat6[3 * capP:].reshape(3, cap, P)
+
+    # one int scatter for bid + hn + pid (3 planes)
+    nxt = jnp.asarray(system.next_bead)
+    partner = _partner_of(ex_left, ex_right, n)
+    tgt3 = plane_targets(3)
+    vals3 = jnp.concatenate([
+        idx, (nxt >= 0).astype(jnp.int32), partner
+    ])
+    flat3 = jnp.concatenate([
+        jnp.full((capP,), n, jnp.int32), jnp.zeros((capP,), jnp.int32),
+        jnp.full((capP,), -1, jnp.int32),
+    ])
+    flat3 = flat3.at[tgt3].set(vals3, mode="drop", unique_indices=True)
+    bid = flat3[:capP].reshape(cap, P)
+    hn = flat3[capP: 2 * capP].reshape(cap, P).astype(bool)
+    pid = flat3[2 * capP:].reshape(cap, P)
+
+    # static halo columns for the int planes (refreshed only at rebuild)
+    src = jnp.asarray(maps.src_cols)
+    ints = jnp.stack([bid, hn.astype(jnp.int32), pid])[:, :, src]
+    bid, hn, pid = ints[0], ints[1].astype(bool), ints[2]
+
+    gx = _halo_refresh(gx, maps)
+
+    exl_slot, exr_slot = _ex_slots(slot_of, ex_left, ex_right)
+    return (gx, gv, bid, hn, pid, slot_of, exl_slot, exr_slot, x, img,
+            overflow)
+
+
+def _partner_of(ex_left, ex_right, n):
+    active = ex_left >= 0
+    safe_l = jnp.where(active, ex_left, n)
+    safe_r = jnp.where(active, ex_right, n)
+    partner = jnp.full((n,), -1, jnp.int32)
+    partner = partner.at[safe_l].set(jnp.where(active, ex_right, -1), mode="drop")
+    partner = partner.at[safe_r].set(jnp.where(active, ex_left, -1), mode="drop")
+    return partner
+
+
+def _ex_slots(slot_of, ex_left, ex_right):
+    e = ex_left.shape[0]
+    active = ex_left >= 0
+    both = jnp.concatenate([
+        jnp.where(active, ex_left, 0), jnp.where(active, ex_right, 0)
+    ])
+    slots = slot_of[both]
+    return slots[:e], slots[e:]
+
+
+def _halo_refresh(gx, maps: _FastMaps):
+    """Refresh halo columns of the position planes (one column gather +
+    the static +-L ghost-image shift — Comm::forward_comm's analog)."""
+    src = jnp.asarray(maps.src_cols)
+    sh = jnp.asarray(maps.shifts.T, gx.dtype)[:, None, :]   # (3, 1, P)
+    return gx[:, :, src] + sh
+
+
+# ---------------------------------------------------------------------------
+# the fused pair+bond kernel
+
+
+def _shift_minor(a, delta, fill):
+    if delta == 0:
+        return a
+    pad = jnp.full(a.shape[:-1] + (abs(delta),), fill, a.dtype)
+    if delta > 0:
+        return jnp.concatenate([a[..., delta:], pad], axis=-1)
+    return jnp.concatenate([pad, a[..., :delta]], axis=-1)
+
+
+def make_kernel(system: System, maps: _FastMaps, ex_btype: int):
+    """Fused LJ + FENE + exclusion kernel over the full 27-offset stencil.
+
+    Full stencil (no Newton) so every interior slot accumulates its complete
+    force locally — no reaction fold-back pass exists.  Per pair slot:
+      bonded  <- |bid_i - bid_j| == 1 and the chain link exists
+      excl    <- bonded or bid_j == extruder_partner(i)
+      LJ      <- in-cutoff, not excluded          (pair_lj_cut.cpp:68-141)
+      FENE+WCA<- bonded                           (bond_fene.cpp:52-128)
+    Energies are half-counted (each pair seen from both sides).  Also
+    counts the bonded pairs found so a bond drifting outside the stencil
+    reach raises FLAG_BOND_REACH instead of silently losing its force.
+    """
+    dtype = jnp.dtype(system.dtype)
+    n = system.n
+    cap, P = maps.cap, maps.P
+    sx, sy, sz = maps.strides
+    lj1, lj2, lj3, lj4, cutsq, offe, floorsq = (
+        t[0, 0] for t in _lj_tables(system, dtype)
+    )
+    bts = np.asarray(system.backbone_type)
+    used = bts[bts >= 0]
+    if used.size:
+        kf, r0f, epsf, sigf = (
+            float(c) for c in np.asarray(system.bonds.coeffs)[used[0]]
+        )
+    else:
+        kf = r0f = epsf = sigf = 0.0
+    r0sq = r0f * r0f
+    wca_cutsq = 2.0 ** (1.0 / 3.0) * sigf * sigf
+    wca_floorsq = 0.5625 * sigf * sigf
+    interior = jnp.asarray(maps.interior)
+
+    def kernel(gx, bid, hn, pid, energy: bool):
+        X, Y, Z = gx[0], gx[1], gx[2]
+        int_i = interior[None, None, :].astype(dtype)  # (1,1,P) i-column mask
+        xi = X[:, None, :]
+        yi = Y[:, None, :]
+        zi = Z[:, None, :]
+        bi = bid[:, None, :]
+        hi = hn[:, None, :]
+        pi = pid[:, None, :]
+
+        fx = jnp.zeros((cap, P), dtype)
+        fy = jnp.zeros((cap, P), dtype)
+        fz = jnp.zeros((cap, P), dtype)
+        e_lj = jnp.zeros((), dtype)
+        e_b = jnp.zeros((), dtype)
+        nb_found = jnp.zeros((), dtype)
+        clamp = jnp.zeros((), bool)
+
+        for (a, b, c) in _OFFSETS:
+            delta = a * sx + b * sy + c * sz
+            xj = _shift_minor(X, delta, _FAR)[None, :, :]
+            yj = _shift_minor(Y, delta, _FAR)[None, :, :]
+            zj = _shift_minor(Z, delta, _FAR)[None, :, :]
+            bj = _shift_minor(bid, delta, n)[None, :, :]
+            hj = _shift_minor(hn, delta, False)[None, :, :]
+
+            dx = xi - xj
+            dy = yi - yj
+            dz = zi - zj
+            rsq = dx * dx + dy * dy + dz * dz
+            nz_pair = rsq > 0.0
+
+            bonded = ((bj == bi + 1) & hi) | ((bi == bj + 1) & hj)
+            excl = bonded | (bj == pi)
+
+            in_cut = rsq < cutsq
+            w_lj = jnp.where(in_cut & nz_pair & ~excl, int_i,
+                             jnp.zeros_like(rsq))
+            rsq_lj = jnp.maximum(
+                jnp.where(in_cut & nz_pair, rsq, jnp.ones_like(rsq)), floorsq
+            )
+            r2 = 1.0 / rsq_lj
+            r6 = r2 * r2 * r2
+            fp = r6 * (lj1 * r6 - lj2) * r2 * w_lj
+            ffac = fp
+
+            if kf != 0.0:
+                w_b = jnp.where(bonded & nz_pair, int_i, jnp.zeros_like(rsq))
+                rsq_b = jnp.where(bonded & nz_pair, rsq, jnp.ones_like(rsq))
+                rlog = 1.0 - rsq_b / r0sq
+                cl = rlog < 0.1
+                rlog = jnp.where(cl, jnp.asarray(0.1, dtype), rlog)
+                fb = -kf / rlog
+                rsq_w = jnp.maximum(rsq_b, wca_floorsq)
+                sr2 = sigf * sigf / rsq_w
+                sr6 = sr2 * sr2 * sr2
+                wca = rsq_b < wca_cutsq
+                fb = fb + jnp.where(
+                    wca, 48.0 * epsf * sr6 * (sr6 - 0.5) / rsq_w, 0.0
+                )
+                ffac = ffac + fb * w_b
+                nb_found = nb_found + jnp.sum(w_b)
+                clamp = clamp | jnp.any(cl & (w_b > 0))
+                if energy:
+                    eb = -0.5 * kf * r0sq * jnp.log(rlog) + jnp.where(
+                        wca, 4.0 * epsf * sr6 * (sr6 - 1.0) + epsf, 0.0
+                    )
+                    e_b = e_b + 0.5 * jnp.sum(eb * w_b)
+
+            fx = fx + jnp.sum(dx * ffac, axis=1)
+            fy = fy + jnp.sum(dy * ffac, axis=1)
+            fz = fz + jnp.sum(dz * ffac, axis=1)
+            if energy:
+                el = (r6 * (lj3 * r6 - lj4) - offe) * w_lj
+                e_lj = e_lj + 0.5 * jnp.sum(el)
+
+        gf = jnp.stack([fx, fy, fz])
+        # each backbone bond must appear exactly twice (both directions);
+        # count interior-i sightings of links whose smaller-id end is
+        # interior — conservative: compare to interior link count
+        n_links = jnp.sum(
+            jnp.where(interior[None, :] & (bid < n), hn, False)
+        ).astype(dtype)
+        reach = jnp.where(
+            0.5 * nb_found < n_links - 0.5,
+            jnp.uint32(FLAG_BOND_REACH), jnp.uint32(0),
+        )
+        fl = reach | jnp.where(
+            clamp, jnp.uint32(FLAG_FENE_CLAMP), jnp.uint32(0)
+        )
+        return gf, e_lj, e_b, fl
+
+    return kernel
+
+
+def make_extruder_pass(system: System, maps: _FastMaps, ex_btype: int):
+    """Extruder-spring forces straight on the planes.
+
+    Two small data-dependent ops (one gather of the 2E anchor coordinates,
+    one scatter-add of their forces) — extruder bonds are soft springs that
+    routinely stretch beyond the one-cell stencil reach, so they cannot
+    ride the dense kernel (bond_harmonic.cpp:48-80 semantics).
+    """
+    if ex_btype <= 0:
+        return None
+    dtype = jnp.dtype(system.dtype)
+    cap, P = maps.cap, maps.P
+    capP = cap * P
+    style = int(system.bonds.style[ex_btype - 1])
+    kh, r0h, epsh, sigh = (
+        float(c) for c in np.asarray(system.bonds.coeffs)[ex_btype - 1]
+    )
+    box = np.asarray(system.box_size)
+
+    def ex_pass(gx, gf, exl_slot, exr_slot, active, energy: bool):
+        e = exl_slot.shape[0]
+        sl = jnp.where(active, exl_slot, 0)
+        sr = jnp.where(active, exr_slot, 0)
+        idx = jnp.concatenate(
+            [sl + k * capP for k in range(3)]
+            + [sr + k * capP for k in range(3)]
+        )
+        pos = gx.reshape(-1)[idx]
+        xl = pos[:3 * e].reshape(3, e)
+        xr = pos[3 * e:].reshape(3, e)
+        d = xl - xr
+        d = d - jnp.asarray(box, dtype)[:, None] * jnp.round(
+            d / jnp.asarray(box, dtype)[:, None]
+        )
+        rsq = jnp.maximum(jnp.sum(d * d, axis=0), 1e-12)
+        if style == BOND_HARMONIC:
+            r = jnp.sqrt(rsq)
+            dr = r - r0h
+            fb = -2.0 * kh * dr / r
+            eb = kh * dr * dr
+        else:  # FENE extruder bond
+            rlog = jnp.maximum(1.0 - rsq / (r0h * r0h), 0.1)
+            fb = -kh / rlog
+            rsq_w = jnp.maximum(rsq, 0.5625 * sigh * sigh)
+            sr2 = sigh * sigh / rsq_w
+            sr6 = sr2 * sr2 * sr2
+            wca = rsq < 2.0 ** (1.0 / 3.0) * sigh * sigh
+            fb = fb + jnp.where(wca, 48.0 * epsh * sr6 * (sr6 - 0.5) / rsq_w,
+                                0.0)
+            eb = -0.5 * kh * r0h * r0h * jnp.log(rlog) + jnp.where(
+                wca, 4.0 * epsh * sr6 * (sr6 - 1.0) + epsh, 0.0
+            )
+        am = active.astype(dtype)
+        fvec = d * (fb * am)[None, :]        # force on left anchor
+        vals = jnp.concatenate(
+            [fvec[k] for k in range(3)] + [-fvec[k] for k in range(3)]
+        )
+        gf = gf.reshape(-1).at[idx].add(vals).reshape(3, cap, P)
+        ebond = jnp.sum(eb * am) if energy else jnp.zeros((), dtype)
+        return gf, ebond
+
+    return ex_pass
+
+
+# ---------------------------------------------------------------------------
+# counter-based RNG (threefry2x32) for in-grid Langevin noise
+
+
+_TF_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
+
+
+def _threefry2x32(k0, k1, c0, c1):
+    """Reference threefry2x32 (Salmon et al. 2011), 20 rounds, on uint32
+    arrays.  Counter-based so halo copies of a bead would draw identical
+    noise (the replacement for RanMars per-atom streams,
+    src/random_mars.cpp:81)."""
+    ks2 = k0 ^ k1 ^ jnp.uint32(0x1BD11BDA)
+    ks = (k0, k1, ks2)
+    x0 = c0 + k0
+    x1 = c1 + k1
+    for i in range(5):
+        for j in range(4):
+            r = _TF_ROT[4 * (i % 2) + j]
+            x0 = x0 + x1
+            x1 = (x1 << r) | (x1 >> (32 - r))
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+    return x0, x1
+
+
+def _key_words(key):
+    """(k0, k1) uint32 from either a typed PRNG key or a raw (2,) array."""
+    kd = key
+    if jnp.issubdtype(jnp.asarray(kd).dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(kd)
+    kd = jnp.asarray(kd).astype(jnp.uint32).reshape(-1)
+    return kd[0], kd[1]
+
+
+def _uniform3(key, bid, sstep, dtype):
+    """Three (cap, P) uniform [0,1) planes keyed by (key, step, bead)."""
+    k0, k1 = _key_words(key)
+    c0 = bid.astype(jnp.uint32)
+    base = (sstep.astype(jnp.uint32)) * jnp.uint32(4)
+    us = []
+    scale = jnp.asarray(1.0 / 16777216.0, dtype)
+    for comp in range(3):
+        x0, _ = _threefry2x32(k0, k1, c0, base + jnp.uint32(comp))
+        us.append((x0 >> 8).astype(dtype) * scale)
+    return jnp.stack(us)
+
+
+# ---------------------------------------------------------------------------
+# conversion
+
+
+def to_fast(state: State, sim) -> FastState:
+    """Convert a bead-layout State (post-setup or fresh) to grid residency
+    and evaluate initial forces/energies (Verlet::setup analog)."""
+    system = sim.system
+    maps = fast_maps(system)
+    (gx, gv, bid, hn, pid, slot_of, exl, exr, x, img, overflow) = _place(
+        system, maps, state.x, state.v, state.type, state.ex_left,
+        state.ex_right, state.img,
+    )
+    kernel = make_kernel(system, maps, sim.ex_btype)
+    gf, e_lj, e_b, kfl = kernel(gx, bid, hn, pid, True)
+    ex_pass = make_extruder_pass(system, maps, sim.ex_btype)
+    if ex_pass is not None:
+        gf, eb2 = ex_pass(gx, gf, exl, exr, state.ex_left >= 0, True)
+        e_b = e_b + eb2
+    return FastState(
+        gx=gx, gv=gv, gf=gf, gx_ref=gx, bid=bid, hn=hn, pid=pid,
+        slot_of=slot_of, exl_slot=exl, exr_slot=exr,
+        types=state.type, img=img,
+        ex_left=state.ex_left, ex_right=state.ex_right,
+        key=state.key, step=state.step,
+        flags=state.flags | overflow | kfl,
+        epair=e_lj, ebond=e_b,
+        n_moves=state.n_moves, n_loads=state.n_loads,
+        n_unloads=state.n_unloads,
+    )
+
+
+def _extract_beads(fs: FastState, system: System):
+    """(x, v, f) bead-layout arrays — one flat gather for 9 components."""
+    maps = fast_maps(system)
+    capP = maps.cap * maps.P
+    slot = jnp.clip(fs.slot_of, 0, capP - 1)
+    idx = jnp.concatenate([slot + k * capP for k in range(3)])
+    n = system.n
+    x = fs.gx.reshape(-1)[idx].reshape(3, n).T
+    v = fs.gv.reshape(-1)[idx].reshape(3, n).T
+    f = fs.gf.reshape(-1)[idx].reshape(3, n).T
+    return x, v, f
+
+
+def from_fast(fs: FastState, system: System) -> State:
+    """Back to the bead-layout State (for thermo/dump/checkpoint/decks)."""
+    x, v, f = _extract_beads(fs, system)
+    return State(
+        x=x, v=v, f=f, img=fs.img, type=fs.types,
+        ex_left=fs.ex_left, ex_right=fs.ex_right,
+        key=fs.key, step=fs.step, flags=fs.flags,
+        epair=fs.epair, ebond=fs.ebond,
+        n_moves=fs.n_moves, n_loads=fs.n_loads, n_unloads=fs.n_unloads,
+        nbr=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# thermo (no extraction needed)
+
+
+def thermo_row_fast(fs: FastState, system: System):
+    from ..integrate.verlet import ThermoSample
+
+    maps = fast_maps(system)
+    dtype = fs.gv.dtype
+    mass = float(np.asarray(system.masses).flat[0])
+    valid = (fs.bid < system.n) & jnp.asarray(maps.interior)[None, :]
+    vv = jnp.sum(fs.gv * fs.gv, axis=0)
+    ke2 = mass * jnp.sum(jnp.where(valid, vv, 0.0))
+    dof = 3.0 * system.n - 3.0
+    temp = ke2 / (dof * system.units.boltz)
+    ke = 0.5 * ke2
+    return ThermoSample(
+        step=fs.step, temp=temp, epair=fs.epair, ebond=fs.ebond, ke=ke,
+        etotal=ke + fs.epair + fs.ebond,
+        n_extruders=jnp.sum(fs.ex_left >= 0).astype(jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the step
+
+
+def make_fast_segment(sim, thermo_every: int = 0):
+    """Build ``segment(fs, length) -> fs`` advancing ``length`` steps.
+
+    Step gates (LE phases, rebuild cadence, energy cadence) key on the
+    scalar ``fs.step``-derived counter threaded through the fori loop as an
+    UNBATCHED scalar, so the function stays cond-friendly under vmap: call
+    ``segment`` with a scalar ``step0`` when vmapping (see run_replicas).
+    """
+    system = sim.system
+    maps = fast_maps(system)
+    dtype = jnp.dtype(system.dtype)
+    n = system.n
+    dt = sim.dt
+    units = system.units
+    dtf = 0.5 * dt * units.ftm2v
+    mass = float(np.asarray(system.masses).flat[0])
+    K = max(int(system.neighbor.rebuild_every), 1)
+    energy_every = max(int(sim.energy_every), 1)
+    if thermo_every and thermo_every % energy_every != 0:
+        # keep thermo rows from reading stale energies (VERDICT r1 weak #8)
+        energy_every = np.gcd(thermo_every, energy_every)
+
+    kernel = make_kernel(system, maps, sim.ex_btype)
+    ex_pass = make_extruder_pass(system, maps, sim.ex_btype)
+
+    langevin = [f for f in sim.fixes if isinstance(f, Langevin)]
+    lf = langevin[0] if langevin else None
+
+    event_fixes = [
+        f for f in sim.fixes if isinstance(f, (Extrusion, ExLoad, ExUnload))
+    ]
+    event_updates = []
+    for fid, f in enumerate(event_fixes):
+        if isinstance(f, Extrusion):
+            event_updates.append((f, fid, make_extrusion_update(system, f)))
+        elif isinstance(f, ExLoad):
+            event_updates.append((f, fid, make_ex_load_update(system, f)))
+        else:
+            event_updates.append((f, fid, make_ex_unload_update(system, f)))
+
+    halfskin_sq = (0.5 * system.neighbor.skin) ** 2
+    capP = maps.cap * maps.P
+    interior = jnp.asarray(maps.interior)
+
+    def occupancy(fs):
+        return _partner_of(fs.ex_left, fs.ex_right, n) >= 0
+
+    def apply_events(fs, sstep):
+        """LE fixes (post_integrate stage) — bead-layout logic reused from
+        the general path, then partner planes/slots refreshed in place."""
+        for f, fid, update in event_updates:
+            fire = (sstep % f.nevery) == f.phase
+            kind = {Extrusion: 1, ExLoad: 2, ExUnload: 3}[type(f)]
+            key = jax.random.fold_in(
+                jax.random.fold_in(
+                    jax.random.fold_in(fs.key, sstep), (kind << 20) + fid
+                ),
+                f.seed,
+            )
+
+            if isinstance(f, Extrusion):
+                def do(fs, update=update, key=key):
+                    x, _, _ = _extract_beads(fs, system)
+                    l, r, nm = update(x, fs.types, fs.ex_left, fs.ex_right,
+                                      occupancy(fs), key)
+                    return _retable(fs, l, r, fs.types,
+                                    n_moves=fs.n_moves + nm)
+            elif isinstance(f, ExLoad):
+                def do(fs, update=update, key=key):
+                    x, _, _ = _extract_beads(fs, system)
+                    l, r, t, nc, fl = update(x, fs.types, fs.ex_left,
+                                             fs.ex_right, occupancy(fs), key)
+                    return _retable(fs, l, r, t,
+                                    n_loads=fs.n_loads + nc,
+                                    flags=fs.flags | fl)
+            else:
+                def do(fs, update=update, key=key):
+                    x, _, _ = _extract_beads(fs, system)
+                    l, r, nb = update(x, fs.ex_left, fs.ex_right, key)
+                    return _retable(fs, l, r, fs.types,
+                                    n_unloads=fs.n_unloads + nb)
+
+            fs = jax.lax.cond(fire, do, lambda fs: fs, fs)
+        return fs
+
+    def _retable(fs, l, r, types, **kw):
+        """Refresh partner plane + extruder slot lists after a table edit."""
+        partner = _partner_of(l, r, n)
+        pid_flat = jnp.full((capP,), -1, jnp.int32)
+        slot = jnp.clip(fs.slot_of, 0, capP - 1)
+        pid_flat = pid_flat.at[slot].set(partner, unique_indices=True)
+        pid = pid_flat.reshape(maps.cap, maps.P)
+        pid = pid[:, jnp.asarray(maps.src_cols)]
+        exl, exr = _ex_slots(fs.slot_of, l, r)
+        return fs.replace(
+            ex_left=l, ex_right=r, types=types, pid=pid,
+            exl_slot=exl, exr_slot=exr, **kw
+        )
+
+    def rebuild(fs):
+        x, v, _ = _extract_beads(fs, system)
+        (gx, gv, bid, hn, pid, slot_of, exl, exr, _, img, overflow) = _place(
+            system, maps, x, v, fs.types, fs.ex_left, fs.ex_right, fs.img
+        )
+        return fs.replace(
+            gx=gx, gv=gv, gx_ref=gx, bid=bid, hn=hn, pid=pid,
+            slot_of=slot_of, exl_slot=exl, exr_slot=exr, img=img,
+            flags=fs.flags | overflow,
+        )
+
+    def skin_check(fs):
+        d = fs.gx - fs.gx_ref
+        valid = (fs.bid < n) & interior[None, :]
+        dsq = jnp.sum(d * d, axis=0)
+        bad = jnp.max(jnp.where(valid, dsq, 0.0)) > halfskin_sq
+        return fs.replace(flags=fs.flags | jnp.where(
+            bad, jnp.uint32(FLAG_SKIN_VIOLATION), jnp.uint32(0)))
+
+    def forces(fs, sstep):
+        energy_on = (sstep % energy_every) == 0
+
+        def with_e(fs):
+            gf, el, eb, fl = kernel(fs.gx, fs.bid, fs.hn, fs.pid, True)
+            if ex_pass is not None:
+                gf, eb2 = ex_pass(fs.gx, gf, fs.exl_slot, fs.exr_slot,
+                                  fs.ex_left >= 0, True)
+                eb = eb + eb2
+            finite = jnp.isfinite(el) & jnp.isfinite(eb)
+            nf = jnp.where(finite, jnp.uint32(0), jnp.uint32(FLAG_NON_FINITE))
+            return fs.replace(gf=gf, epair=el, ebond=eb,
+                              flags=fs.flags | fl | nf)
+
+        def no_e(fs):
+            gf, el, eb, fl = kernel(fs.gx, fs.bid, fs.hn, fs.pid, False)
+            if ex_pass is not None:
+                gf, _ = ex_pass(fs.gx, gf, fs.exl_slot, fs.exr_slot,
+                                fs.ex_left >= 0, False)
+            return fs.replace(gf=gf, flags=fs.flags | fl)
+
+        if energy_every == 1:
+            return with_e(fs)
+        return jax.lax.cond(energy_on, with_e, no_e, fs)
+
+    def vmask(fs):
+        return ((fs.bid < n) & interior[None, :]).astype(dtype)[None]
+
+    def step(fs: FastState, sstep, run_begin, run_end) -> FastState:
+        valid = vmask(fs)
+
+        # initial integrate: half kick + drift (fix_nve.cpp:64-103)
+        gv = fs.gv + (dtf / mass) * fs.gf * valid
+        gx = fs.gx + dt * gv * valid
+        fs = fs.replace(gx=gx, gv=gv, step=sstep)
+
+        # post integrate: LE fixes (fix_extrusion.cpp:256 et al.)
+        if event_updates:
+            fs = apply_events(fs, sstep)
+
+        # neighbor maintenance (neighbor.cpp:1933 decide() analog)
+        fs = skin_check(fs)
+        fs = jax.lax.cond((sstep % K) == 0, rebuild, lambda fs: fs, fs)
+        valid = vmask(fs)  # slot layout may have changed
+
+        # halo refresh (comm_brick.cpp:452 forward_comm analog)
+        fs = fs.replace(gx=_halo_refresh(fs.gx, maps))
+
+        # force evaluation
+        fs = forces(fs, sstep)
+
+        # post force: Langevin (fix_langevin.cpp:654-674)
+        gf = fs.gf
+        if lf is not None:
+            key = jax.random.fold_in(
+                jax.random.fold_in(
+                    jax.random.fold_in(fs.key, sstep), (4 << 20)
+                ),
+                lf.seed,
+            )
+            # t_start -> t_stop ramp over the run (fix_langevin.cpp:97-145:
+            # delta = (ntimestep - beginstep) / (endstep - beginstep))
+            span = jnp.maximum((run_end - run_begin).astype(dtype), 1.0)
+            frac = jnp.clip(
+                (sstep - run_begin).astype(dtype) / span, 0.0, 1.0
+            )
+            t_target = jnp.asarray(lf.t_start, dtype) + frac * (
+                jnp.asarray(lf.t_stop, dtype) - jnp.asarray(lf.t_start, dtype)
+            )
+            gamma1 = -mass / lf.damp / units.ftm2v
+            gamma2 = (
+                np.sqrt(mass)
+                * np.sqrt(24.0 * units.boltz / (lf.damp * dt) / units.mvv2e)
+                / units.ftm2v
+            ) * jnp.sqrt(t_target)
+            noise = _uniform3(key, fs.bid, sstep, dtype) - 0.5
+            gf = gf + (gamma1 * fs.gv + gamma2 * noise) * valid
+
+        # final integrate: half kick (fix_nve.cpp:108-140)
+        gv = fs.gv + (dtf / mass) * gf * valid
+        return fs.replace(gv=gv, gf=gf)
+
+    def segment(fs: FastState, step0, length, run_begin, run_end):
+        def body(i, fs):
+            return step(fs, step0 + i + 1, run_begin, run_end)
+
+        return jax.lax.fori_loop(0, length, body, fs)
+
+    return segment, step
+
+
+def run_fast(sim, state: State, nsteps: int, thermo_every: int = 0,
+             thermo_callback=None, max_segment: int = 2000):
+    """Drive nsteps on the fast path; mirrors integrate.run()'s contract."""
+    system = sim.system
+    segment, _ = _compiled_fast(sim, thermo_every)
+    fs = _jit_to_fast(sim)(state)
+
+    rows = []
+
+    def emit(fs):
+        row = jax.device_get(thermo_row_fast(fs, system))
+        rows.append(row)
+        if thermo_callback:
+            thermo_callback(row, from_fast(fs, system))
+
+    if thermo_every > 0:
+        emit(fs)
+
+    begin = int(jax.device_get(fs.step))
+    run_begin = jnp.asarray(begin, jnp.int32)
+    run_end = jnp.asarray(begin + nsteps, jnp.int32)
+    seg = thermo_every if thermo_every > 0 else min(nsteps, max_segment)
+    done = 0
+    while done < nsteps:
+        this = min(seg, nsteps - done)
+        left = this
+        while left > 0:
+            chunk = min(left, max_segment)
+            step0 = jnp.asarray(begin + done + (this - left), jnp.int32)
+            fs = segment(fs, step0, chunk, run_begin, run_end)
+            left -= chunk
+        done += this
+        if thermo_every > 0:
+            emit(fs)
+    return from_fast(fs, system), rows
+
+
+def run_fast_replicas(sim, state: State, n_replicas: int, nsteps: int,
+                      seed: int = 1234, max_segment: int = 2000):
+    """Vmapped replica ensemble on the fast path (BASELINE config 5).
+
+    Replicates the given State across R trajectories with decorrelated PRNG
+    keys and identical initial conditions (the reference analog is the
+    multi-partition Universe, src/universe.cpp, where each partition runs
+    the same deck with a different seed).  Every per-step gate keys on the
+    shared scalar step counter, so rebuild/LE/energy conds survive vmap as
+    real conds.  Returns (final FastStates stacked, wall-metric helper).
+    """
+    system = sim.system
+    segment, _ = make_fast_segment(sim)
+    vseg = jax.jit(jax.vmap(segment, in_axes=(0, None, None, None, None)))
+
+    def rep(seed_i, s):
+        return to_fast(
+            s.replace(key=jax.random.fold_in(s.key, seed_i)), sim
+        )
+
+    fs = jax.jit(jax.vmap(rep, in_axes=(0, None)))(
+        jnp.arange(seed, seed + n_replicas, dtype=jnp.int32), state
+    )
+    begin = int(jax.device_get(fs.step[0]))
+    run_begin = jnp.asarray(begin, jnp.int32)
+    run_end = jnp.asarray(begin + nsteps, jnp.int32)
+    done = 0
+    while done < nsteps:
+        chunk = min(max_segment, nsteps - done)
+        step0 = jnp.asarray(begin + done, jnp.int32)
+        fs = vseg(fs, step0, chunk, run_begin, run_end)
+        done += chunk
+    jax.device_get(fs.step)
+    return fs
+
+
+_FAST_CACHE: dict = {}
+
+
+def _compiled_fast(sim, thermo_every: int):
+    key = (id(sim), thermo_every)
+    hit = _FAST_CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+    segment, step = make_fast_segment(sim, thermo_every)
+    jseg = jax.jit(segment)
+    _FAST_CACHE[key] = (jseg, step, sim)
+    return jseg, step
+
+
+_TOFAST_CACHE: dict = {}
+
+
+def _jit_to_fast(sim):
+    key = id(sim)
+    hit = _TOFAST_CACHE.get(key)
+    if hit is None:
+        hit = (jax.jit(lambda s: to_fast(s, sim)), sim)
+        _TOFAST_CACHE[key] = hit
+    return hit[0]

@@ -75,8 +75,11 @@ def minimize(
         # semi-implicit Euler step
         v_stepped = v_new + dt_new * f / m
         x = st.x + dt_new * v_stepped
+        # advance the real timestep counter (the reference advances
+        # ntimestep during minimization, src/min.cpp update->ntimestep) and
+        # force the rebuild without smuggling step=0 through the cadence
         st = st.replace(x=x, step=st.step + 1)
-        st = _maybe_rebuild(st.replace(step=jnp.zeros((), jnp.int32)), system)
+        st = _maybe_rebuild(st, system, force=True)
         fr = _force_pass(st, sim)
         st = st.replace(f=fr.f, epair=fr.epair, ebond=fr.ebond,
                         flags=st.flags | fr.flags)

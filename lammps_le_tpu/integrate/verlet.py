@@ -121,7 +121,10 @@ def _build_nbr(x, system: System):
     return cells.build_neighbor_list(x, system)
 
 
-def _maybe_rebuild(state: State, system: System):
+def _maybe_rebuild(state: State, system: System, force: bool = False):
+    """Neighbor rebuild on the static cadence; ``force=True`` (a Python-
+    static flag) rebuilds unconditionally without touching ``state.step``
+    (used by the minimizer, which rebuilds every iteration)."""
     cfg = system.neighbor
     if not cfg.use_cells:
         return state
@@ -146,6 +149,8 @@ def _maybe_rebuild(state: State, system: System):
             | jnp.where(bad, jnp.uint32(FLAG_SKIN_VIOLATION), jnp.uint32(0))
         )
 
+    if force:
+        return rebuild(state)
     return jax.lax.cond(
         state.step % cfg.rebuild_every == 0, rebuild, keep, state
     )
@@ -171,6 +176,19 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
     event_fixes = [
         f for f in sim.fixes if isinstance(f, (Extrusion, ExLoad, ExUnload))
     ]
+    if event_fixes:
+        s12, s13, s14 = system.special_lj
+        if s13 != 1.0 or s14 != 1.0:
+            # an extruder bond spanning 2-3 chain hops would have both the
+            # chain-tier (1-s13/1-s14) and the extruder (1-s12) corrections
+            # subtracted (the reference respecials the pair into the 1-2
+            # tier exclusively, fix_extrusion.cpp:743-771); reject rather
+            # than double-subtract
+            raise ValueError(
+                "extruder fixes require special_bonds with 1-3/1-4 lj "
+                f"weights of 1.0 (got {s13}, {s14}); use 'special_bonds "
+                "fene' (0,1,1)"
+            )
     event_updates = []
     for fid, f in enumerate(event_fixes):
         if isinstance(f, Extrusion):
@@ -213,8 +231,17 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
         # --- post integrate: LE fixes at their staggered phases ---
         for f, fid, update in event_updates:
             fire = (step_no % f.nevery) == f.phase
+            # stream separation: fold (step, kind<<20 | fid, seed) so fixes
+            # with adjacent fid/seed values can never share a stream
+            # (reference decorrelates per-proc RanMars by seed+me,
+            # fix_extrusion.cpp:99)
+            kind = {Extrusion: 1, ExLoad: 2, ExUnload: 3}[type(f)]
             key = jax.random.fold_in(
-                jax.random.fold_in(state.key, step_no), 1000 + fid + f.seed
+                jax.random.fold_in(
+                    jax.random.fold_in(state.key, step_no),
+                    (kind << 20) + fid,
+                ),
+                f.seed,
             )
 
             if isinstance(f, Extrusion):
@@ -271,7 +298,10 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
         for lid, lf in enumerate(langevin_fixes):
             gm = group_mask(lf.group)
             key = jax.random.fold_in(
-                jax.random.fold_in(state.key, step_no), 2000 + lid
+                jax.random.fold_in(
+                    jax.random.fold_in(state.key, step_no), (4 << 20) + lid
+                ),
+                lf.seed,
             )
             t_target = jnp.asarray(lf.t_start, dtype)
             gamma1 = -m / lf.damp / units.ftm2v
@@ -358,6 +388,12 @@ def _compiled(sim: Simulation, groups: Optional[dict]):
     return segment, setup_fn
 
 
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
+
+
 def run(
     sim: Simulation,
     state: State,
@@ -366,18 +402,31 @@ def run(
     thermo_every: int = 0,
     thermo_callback=None,
     max_segment: int = 500,
+    boundary_every: int = 0,
+    boundary_callback=None,
 ):
     """Drive nsteps, returning (state, list_of_thermo_rows).
 
     Compiles one segment scan per Simulation and reuses it; thermo rows are
-    produced at t=0 (post-setup) and every ``thermo_every`` steps.
+    produced at t=0 (post-setup), every ``thermo_every`` steps, and at the
+    final step of the run (matching the reference's end-of-run thermo line,
+    src/thermo.cpp:324).  ``boundary_callback(state)`` fires whenever
+    ``state.step % boundary_every == 0`` (dump cadence) — device execution
+    is segmented on gcd(thermo_every, boundary_every) so both cadences are
+    honored by ONE setup + one compiled segment (no re-entry).
     ``max_segment`` bounds the steps per device call (very long single
     executions can trip transport timeouts on remote accelerators).
     """
     system = sim.system
     segment, setup_fn = _compiled(sim, groups)
 
-    seg = thermo_every if thermo_every > 0 else min(nsteps, max_segment)
+    seg = 0
+    if thermo_every > 0:
+        seg = thermo_every
+    if boundary_every > 0:
+        seg = _gcd(seg, boundary_every) if seg else boundary_every
+    if seg == 0:
+        seg = min(nsteps, max_segment)
     rows = []
 
     # normalize pytree structure (nbr dropped) so setup/segment compile once
@@ -387,6 +436,9 @@ def run(
         rows.append(row)
         if thermo_callback:
             thermo_callback(row, state)
+    if boundary_callback and boundary_every > 0:
+        if int(state.step) % boundary_every == 0:
+            boundary_callback(state)
 
     done = 0
     while done < nsteps:
@@ -401,9 +453,15 @@ def run(
                 jax.device_get(state.step)
             left -= chunk
         done += this
-        if thermo_every > 0:
+        on_thermo = thermo_every > 0 and (
+            done % thermo_every == 0 or done == nsteps
+        )
+        if on_thermo:
             row = jax.device_get(thermo_row(state, system))
             rows.append(row)
             if thermo_callback:
                 thermo_callback(row, state)
+        if boundary_callback and boundary_every > 0:
+            if int(state.step) % boundary_every == 0:
+                boundary_callback(state)
     return state, rows

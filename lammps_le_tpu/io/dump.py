@@ -85,23 +85,38 @@ def write_frame(spec: DumpSpec, state, system):
 
 def run_with_dumps(sim, state, nsteps, dumps, groups=None,
                    thermo_every=0, thermo_callback=None):
-    """Drive the run loop in dump-interval segments, writing frames on host."""
+    """Drive ONE run loop, writing dump frames from a boundary callback.
+
+    A single ``run()`` invocation segments device execution on
+    gcd(dump cadences, thermo_every): setup runs once, thermo rows appear
+    exactly at the thermo cadence (reference: dumps fire on absolute
+    timestep multiples, src/output.cpp:284), and each dump writes whenever
+    ``step % every == 0`` — including the initial frame, as the reference's
+    ``output->setup`` does (src/verlet.cpp:156).
+    """
     from ..integrate import run as run_loop
 
-    every = min(d.every for d in dumps)
-    rows_all = []
-    done = 0
-    # initial frames at step 0 boundary handled by first interval end
-    while done < nsteps:
-        this = min(every, nsteps - done)
-        state, rows = run_loop(sim, state, this, groups=groups,
-                               thermo_every=thermo_every,
-                               thermo_callback=thermo_callback)
-        rows_all.extend(rows)
-        done += this
+    cadence = 0
+    for d in dumps:
+        cadence = _gcd0(cadence, d.every)
+
+    def on_boundary(st):
+        step = int(st.step)
         for d in dumps:
-            if int(state.step) % d.every == 0:
-                write_frame(d, state, sim.system)
+            if step % d.every == 0:
+                write_frame(d, st, sim.system)
+
+    state, rows = run_loop(
+        sim, state, nsteps, groups=groups,
+        thermo_every=thermo_every, thermo_callback=thermo_callback,
+        boundary_every=cadence, boundary_callback=on_boundary,
+    )
     for d in dumps:
         d.close()
-    return state, rows_all
+    return state, rows
+
+
+def _gcd0(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a

@@ -27,6 +27,8 @@ FLAG_SKIN_VIOLATION = 4      # displacement since rebuild exceeded skin/2
 FLAG_FENE_CLAMP = 8          # FENE rlogarg clamped (bond_fene.cpp:87-92)
 FLAG_EXTRUDER_OVERFLOW = 16  # ex_load wanted more extruders than table slots
 FLAG_NON_FINITE = 32         # non-finite energy observed (blown-up dynamics)
+FLAG_BOND_REACH = 64         # a backbone bond exceeded the cell-stencil reach
+                             # (fast path: its force would be silently missed)
 
 
 @struct.dataclass

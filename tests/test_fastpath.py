@@ -1,0 +1,166 @@
+"""Fast-path (grid-resident engine) equivalence vs the general path.
+
+Strategy mirrors the reference's golden force-style tests
+(unittest/force-styles/test_bond_style.cpp:372-399): pin per-atom forces at
+t=0 to f64 tolerance, then short-trajectory and stochastic-fix equivalence
+between the two engines (same PRNG stream derivations => identical LE
+decisions when trajectories agree).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lammps_le_tpu.fast import (
+    fast_supported,
+    from_fast,
+    run_fast,
+    to_fast,
+)
+from lammps_le_tpu.fixes import NVE, Extrusion, ExLoad, ExUnload, Langevin
+from lammps_le_tpu.integrate import Simulation, run as run_general
+from lammps_le_tpu.integrate.verlet import setup
+from lammps_le_tpu.io.data import system_from_data
+from lammps_le_tpu.ops.cells import minimum_image
+from lammps_le_tpu.scene import serpentine
+from lammps_le_tpu.state import init_state
+from lammps_le_tpu.system import (
+    BOND_FENE,
+    BOND_HARMONIC,
+    BondParams,
+    PairLJCut,
+)
+
+
+@pytest.fixture(scope="module")
+def melt():
+    """Thermalized 2k-bead melt with extruders seeded (f64)."""
+    n = 2000
+    data = serpentine(n, spacing=0.97, row_gap=1.1, seed=7,
+                      barrier_fraction=0.01)
+    ones = np.ones((4, 4))
+    pair = PairLJCut(epsilon=ones, sigma=ones, cutoff=1.12 * ones, shift=True)
+    bonds = BondParams(
+        style=np.array([BOND_FENE, BOND_HARMONIC]),
+        coeffs=np.array([[30.0, 1.5, 1.0, 1.0], [3.0, 1.1, 0.0, 0.0]]),
+    )
+    system, _ = system_from_data(
+        data, pair=pair, bonds=bonds, dtype="float64", ex_btype=2,
+        max_extruders=32, skin=0.3, rebuild_every=2, cell_cap=10,
+    )
+    warm = Simulation(system=system, dt=0.006,
+                      fixes=(NVE(), Langevin(1.0, 1.0, 1.0, seed=5)),
+                      ex_btype=2)
+    state = init_state(system, data.x, types=data.types, seed=11)
+    state, _ = run_general(warm, state, 150)
+    left = np.full(32, -1, np.int32)
+    right = np.full(32, -1, np.int32)
+    sites = np.arange(10) * 180 + 3
+    left[:10] = sites
+    right[:10] = sites + 2
+    state = state.replace(
+        ex_left=jnp.asarray(left), ex_right=jnp.asarray(right),
+        flags=jnp.zeros((), jnp.uint32),
+    )
+    return system, state
+
+
+def test_fast_supported_gates(melt):
+    system, state = melt
+    ok = Simulation(system=system, dt=0.006, fixes=(NVE(),), ex_btype=2)
+    assert fast_supported(ok)
+    grouped = Simulation(system=system, dt=0.006,
+                         fixes=(NVE(group="half"),), ex_btype=2)
+    assert not fast_supported(grouped)
+
+
+def test_t0_force_energy_parity(melt):
+    system, state = melt
+    sim = Simulation(system=system, dt=0.006, fixes=(NVE(),), ex_btype=2)
+    state0 = jax.jit(lambda s: setup(sim, s))(state)
+    fs = to_fast(state0, sim)
+    st_f = from_fast(fs, system)
+    scale = float(jnp.max(jnp.abs(state0.f)))
+    assert float(jnp.max(jnp.abs(st_f.f - state0.f))) < 1e-10 * max(scale, 1)
+    assert abs(float(state0.epair) - float(fs.epair)) < 1e-8
+    assert abs(float(state0.ebond) - float(fs.ebond)) < 1e-8
+    assert int(fs.flags) == 0
+
+
+def test_nve_trajectory_parity(melt):
+    system, state = melt
+    sim = Simulation(system=system, dt=0.006, fixes=(NVE(),), ex_btype=2)
+    stg, _ = run_general(sim, state, 40)
+    stf, _ = run_fast(sim, state, 40)
+    dx = minimum_image(stf.x - stg.x, system.box_size)
+    assert float(jnp.max(jnp.abs(dx))) < 1e-9
+    assert float(jnp.max(jnp.abs(stf.v - stg.v))) < 1e-8
+    assert int(stf.flags) == int(stg.flags) == 0
+
+
+def test_le_fix_determinism_parity(melt):
+    """Same key derivations + same trajectory => identical LE decisions."""
+    system, state = melt
+    sim = Simulation(
+        system=system, dt=0.006,
+        fixes=(
+            NVE(),
+            Extrusion(nevery=10, neutral_type=1, ctcf_left=2, ctcf_right=3,
+                      through_prob=0.5, btype=2, ctcf_left_right=4),
+            ExUnload(nevery=10, btype=2, cutoff=0.5, fraction=0.5, seed=99),
+            ExLoad(nevery=10, iatomtype=1, jatomtype=1, cutoff=1.12, btype=2,
+                   fraction=0.2, seed=42, imaxbond=1, inewtype=1,
+                   jmaxbond=1, jnewtype=1),
+        ),
+        ex_btype=2,
+    )
+    stg, _ = run_general(sim, state, 35)
+    stf, _ = run_fast(sim, state, 35)
+    assert bool(jnp.all(stg.ex_left == stf.ex_left))
+    assert bool(jnp.all(stg.ex_right == stf.ex_right))
+    assert int(stg.n_moves) == int(stf.n_moves)
+    assert int(stg.n_loads) == int(stf.n_loads)
+    assert int(stg.n_unloads) == int(stf.n_unloads)
+    dx = minimum_image(stf.x - stg.x, system.box_size)
+    assert float(jnp.max(jnp.abs(dx))) < 1e-8
+
+
+def test_langevin_thermostat_statistics(melt):
+    """Counter-RNG Langevin holds T* ~ 1 (statistical, not bitwise)."""
+    from lammps_le_tpu.fast import thermo_row_fast
+
+    system, state = melt
+    sim = Simulation(system=system, dt=0.006,
+                     fixes=(NVE(), Langevin(1.0, 1.0, 1.0, seed=31)),
+                     ex_btype=2)
+    stf, rows = run_fast(sim, state, 400, thermo_every=100)
+    temps = [float(r.temp) for r in rows[1:]]
+    assert all(0.8 < t < 1.25 for t in temps), temps
+    assert int(stf.flags) == 0
+
+
+def test_langevin_ramp(melt):
+    """t_start -> t_stop interpolation over the run
+    (fix_langevin.cpp:97-145)."""
+    system, state = melt
+    sim = Simulation(system=system, dt=0.006,
+                     fixes=(NVE(), Langevin(1.0, 0.2, 0.5, seed=31)),
+                     ex_btype=2)
+    stf, rows = run_fast(sim, state, 600, thermo_every=600)
+    assert float(rows[-1].temp) < 0.5  # cooled well below start
+
+
+def test_rebuild_invariance(melt):
+    """Trajectories must not depend on the rebuild cadence."""
+    system, state = melt
+    s1 = system.with_neighbor(rebuild_every=1)
+    s4 = system.with_neighbor(rebuild_every=4)
+    sim1 = Simulation(system=s1, dt=0.006, fixes=(NVE(),), ex_btype=2)
+    sim4 = Simulation(system=s4, dt=0.006, fixes=(NVE(),), ex_btype=2)
+    st1, _ = run_fast(sim1, state, 24)
+    st4, _ = run_fast(sim4, state, 24)
+    dx = minimum_image(st1.x - st4.x, system.box_size)
+    assert float(jnp.max(jnp.abs(dx))) < 1e-9
+    assert int(st1.flags) == int(st4.flags) == 0
