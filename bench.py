@@ -2,7 +2,10 @@
 
 Measures the BASELINE.json primary metric — bead*steps/sec per chip on a
 100k-bead chromosome with active loop extrusion (extrusion + ex_load +
-ex_unload fixes, hundreds of extruders) — and prints ONE JSON line.
+ex_unload, hundreds of extruders) — on the grid-resident fast engine
+(lammps_le_tpu.fast), sweeping the vmapped replica-ensemble axis
+(BASELINE config 5) and reporting the best aggregate.  Prints ONE JSON
+line.
 
 ``vs_baseline`` is relative to the only committed reference measurement:
 the 32k-bead FENE chain bench at 102.286 steps/s = 3.273e6 bead*steps/s on
@@ -31,8 +34,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from lammps_le_tpu.fast import run_fast, thermo_row_fast, to_fast
+    from lammps_le_tpu.fast.engine import make_fast_segment
     from lammps_le_tpu.fixes import NVE, Extrusion, ExLoad, ExUnload, Langevin
-    from lammps_le_tpu.integrate import Simulation, run as run_loop
+    from lammps_le_tpu.integrate import Simulation
     from lammps_le_tpu.io.data import system_from_data
     from lammps_le_tpu.scene import serpentine
     from lammps_le_tpu.state import init_state
@@ -42,7 +47,6 @@ def main():
     n_ex0 = 500
     log(f"devices: {jax.devices()}")
 
-    # overlap-free folded chain at melt-like density; CTCF barriers sprinkled
     data = serpentine(n_beads, spacing=0.97, row_gap=1.1, seed=2024,
                       barrier_fraction=0.003)
     ones = np.ones((4, 4))
@@ -51,18 +55,18 @@ def main():
         style=np.array([BOND_FENE, BOND_HARMONIC]),
         coeffs=np.array([[30.0, 1.5, 1.0, 1.0], [3.0, 1.1, 0.0, 0.0]]),
     )
-    # TPU-native neighbor policy: rebuilds are ~free on the cell grid, so
-    # rebuild EVERY step with a skin sized for the thermal velocity *tail*
-    # (0.25 ~ 10 sigma_v * dt) — a static cadence with a tight skin lets
-    # fast beads in a 100k ensemble slip past the half-skin bound, silently
-    # losing pairs and heating the system until it blows up.
+    # cells are floored at the FENE clamp reach (system.make_neighbor_config
+    # min_cell) so in-kernel bonds can never leave the stencil; rebuild
+    # every 4 steps against the implied ~0.35 skin
     system, _ = system_from_data(
         data, pair=pair, bonds=bonds, dtype="float32",
-        ex_btype=2, max_extruders=4096, skin=0.25, rebuild_every=1,
-        cell_cap=10,
+        ex_btype=2, max_extruders=4096, skin=0.30, rebuild_every=4,
+        cell_cap=8,
     )
+    log(f"grid {system.neighbor.nx}^3 cell {system.neighbor.cell_size:.3f} "
+        f"cap {system.neighbor.cell_cap}")
 
-    # --- thermalize to T*=1 (no overlaps in the serpentine start) ---
+    # --- thermalize to T*=1 (fast path) ---
     warm = Simulation(
         system=system, dt=0.006,
         fixes=(NVE(), Langevin(t_start=1.0, t_stop=1.0, damp=1.0, seed=7)),
@@ -70,7 +74,7 @@ def main():
     )
     state = init_state(system, data.x, types=data.types, seed=11)
     t0 = time.perf_counter()
-    state, _ = run_loop(warm, state, 300 if quick else 1500)
+    state, _ = run_fast(warm, state, 300 if quick else 1500)
     log(f"thermalization done in {time.perf_counter()-t0:.1f}s "
         f"(incl. compile), flags={int(state.flags):#x}")
 
@@ -83,19 +87,10 @@ def main():
     right[:n_ex0] = sites + 2
     state = state.replace(
         ex_left=jnp.asarray(left), ex_right=jnp.asarray(right),
-        flags=jnp.zeros((), jnp.uint32),
-        v=state.v, step=jnp.zeros((), jnp.int32),
+        flags=jnp.zeros((), jnp.uint32), step=jnp.zeros((), jnp.int32),
     )
 
-    # --- production: full LE machinery.  nevery is ~20x faster than the
-    #     README deck (17500/7000) so the rewiring path is exercised within
-    #     the bench window, but not so fast that bond-snap energy injection
-    #     outruns the thermostat (each move releases the stretched extruder
-    #     spring; at nevery=100 the local heating drives deep LJ collisions
-    #     past velocity-Verlet stability) ---
-    # dt=0.006: the bench metric (bead*steps/s) is dt-independent, and the
-    # smaller step doubles the velocity-Verlet stability margin against
-    # rewiring-induced hot spots penetrating the WCA wall
+    # --- production config: full LE machinery (see r1 notes on nevery) ---
     sim = Simulation(
         system=system, dt=0.006, energy_every=100,
         fixes=(
@@ -111,54 +106,81 @@ def main():
         ),
         ex_btype=2,
     )
-    # settle: seeded extruder bonds inject elastic energy; let the
-    # thermostat absorb it at a small timestep before measuring
+    # settle: seeded extruder bonds inject elastic energy
     settle = Simulation(system=system, dt=0.002, fixes=sim.fixes, ex_btype=2)
     t0 = time.perf_counter()
-    state, _ = run_loop(settle, state, 100 if quick else 400)
-    jax.device_get(state.epair)
+    state, _ = run_fast(settle, state, 100 if quick else 400)
     log(f"settle {time.perf_counter()-t0:.1f}s, flags={int(state.flags):#x}")
     state = state.replace(flags=jnp.zeros((), jnp.uint32))
 
-    # warmup (compiles the production step)
-    t0 = time.perf_counter()
-    state, _ = run_loop(sim, state, 50)
-    jax.device_get(state.epair)
-    log(f"warmup+compile {time.perf_counter()-t0:.1f}s")
+    # --- replica sweep: vmapped ensembles (BASELINE config 5) ---
+    segment, _ = make_fast_segment(sim)
+    results = {}
+    sweep = [1, 2] if quick else [1, 4, 8]
+    best = None
+    for R in sweep:
+        vseg = jax.jit(jax.vmap(segment, in_axes=(0, None, None, None, None)))
 
-    nsteps = 300 if quick else 3000
-    t0 = time.perf_counter()
-    state, _ = run_loop(sim, state, nsteps)
-    jax.device_get(state.epair)
-    wall = time.perf_counter() - t0
-    steps_per_s = nsteps / wall
-    bead_steps = steps_per_s * n_beads
-    n_ex = int(jnp.sum(state.ex_left >= 0))
-    moves = int(state.n_moves)
+        def rep(seed_i, s):
+            return to_fast(s.replace(key=jax.random.fold_in(s.key, seed_i)),
+                           sim)
+
+        fs = jax.jit(jax.vmap(rep, in_axes=(0, None)))(
+            jnp.arange(100, 100 + R, dtype=jnp.int32), state
+        )
+        begin = int(jax.device_get(fs.step[0]))
+        b0 = jnp.asarray(begin, jnp.int32)
+        nwarm = 40
+        nmeas = 300 if quick else 1500
+        bend = jnp.asarray(begin + nwarm + nmeas, jnp.int32)
+        t0 = time.perf_counter()
+        fs = vseg(fs, b0, nwarm, b0, bend)
+        jax.device_get(fs.step)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fs = vseg(fs, b0 + nwarm, nmeas, b0, bend)
+        jax.device_get(fs.step)
+        wall = time.perf_counter() - t0
+        sps = nmeas / wall
+        agg = sps * n_beads * R
+        rows = jax.vmap(lambda f: thermo_row_fast(f, system))(fs)
+        temp = float(jnp.mean(rows.temp))
+        flags = int(jnp.bitwise_or.reduce(jnp.atleast_1d(fs.flags)))
+        moves = int(jnp.sum(fs.n_moves))
+        n_ex = int(jnp.sum(fs.ex_left >= 0)) // R
+        results[R] = {
+            "steps_per_s": round(sps, 2),
+            "agg_bead_steps_per_s": round(agg, 1),
+            "temp": round(temp, 4),
+            "flags": flags,
+            "compile_s": round(compile_s, 1),
+        }
+        log(f"R={R}: {sps:.1f} steps/s, {agg/1e6:.1f} M bead-steps/s "
+            f"aggregate, T={temp:.3f}, flags={flags:#x}, moves={moves}")
+        if best is None or agg > best[1]:
+            best = (R, agg, sps, temp, flags, moves, n_ex, wall)
+
+    R, agg, sps, temp, flags, moves, n_ex, wall = best
+    healthy = bool(np.isfinite(temp)) and 0.5 < temp < 2.0 and flags == 0
     events_per_s = moves / wall
-    from lammps_le_tpu.integrate import thermo_row
-
-    row = thermo_row(state, system)
-    temp = float(row.temp)
-    healthy = bool(np.isfinite(temp)) and 0.5 < temp < 2.0
-    log(f"{steps_per_s:.1f} steps/s, {bead_steps/1e6:.1f} M bead-steps/s, "
-        f"extruders={n_ex}, moves={moves}, T={temp:.3f}, "
-        f"flags={int(state.flags):#x}")
 
     print(json.dumps({
         "metric": "bead_steps_per_sec_per_chip_100k_le",
-        "value": round(bead_steps, 1),
+        "value": round(agg, 1),
         "unit": "bead*steps/s",
-        "vs_baseline": round(bead_steps / BASELINE_BEAD_STEPS, 3),
+        "vs_baseline": round(agg / BASELINE_BEAD_STEPS, 3),
         "detail": {
-            "steps_per_s": round(steps_per_s, 2),
+            "engine": "fast(grid-resident)",
+            "best_replicas": R,
+            "steps_per_s": round(sps, 2),
             "n_beads": n_beads,
-            "extruders": n_ex,
+            "extruders_per_replica": n_ex,
             "extrusion_moves": moves,
             "extrusion_events_per_s": round(events_per_s, 2),
             "temp": round(temp, 4),
             "healthy": healthy,
-            "flags": int(state.flags),
+            "flags": flags,
+            "replica_sweep": results,
         },
     }))
 

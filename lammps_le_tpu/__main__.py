@@ -25,15 +25,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from .deck import DeckRunner
-    from .deck.parser import parse_file
-    import os
 
     runner = DeckRunner(dtype=args.dtype, quiet=args.quiet)
     if args.log:
         runner.command("log", [args.log])
-    runner.root = os.path.dirname(os.path.abspath(args.infile)) or "."
-    deck = parse_file(args.infile, variables=dict(args.vars))
-    runner.execute(deck)
+    runner.run_file(args.infile, variables=dict(args.vars))
     return 0
 
 

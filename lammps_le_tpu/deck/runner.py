@@ -23,7 +23,7 @@ from ..integrate import Simulation, run as run_loop, setup, thermo_row
 from ..io.data import read_data, system_from_data
 from ..state import init_state
 from ..system import BondParams, PairLJCut, bond_style_code
-from .parser import Deck, parse_file
+from .parser import Deck
 
 
 class DeckError(RuntimeError):
@@ -83,9 +83,12 @@ class DeckRunner:
         for cmd in deck.commands:
             self.command(cmd.name, cmd.args, cmd.raw)
 
-    def run_file(self, path: str):
-        self.root = os.path.dirname(os.path.abspath(path))
-        self.execute(parse_file(path))
+    def run_file(self, path: str, variables: Optional[dict] = None):
+        """Execute a deck with full control-flow support (jump/next/if/
+        include/print — reference: src/input.cpp:689-773)."""
+        from .script import ScriptInterpreter
+
+        ScriptInterpreter(self, variables).run_file(path)
 
     # ------------------------------------------------------------------
     def command(self, name: str, args: List[str], raw: str = ""):
@@ -505,16 +508,41 @@ class DeckRunner:
                  "ebond": "E_mol", "etotal": "TotEng", "ke": "KinEng",
                  "press": "Press", "pe": "PotEng", "vol": "Volume",
                  "density": "Density", "n_extruders": "Extruders"}
+        # f_ID[n] fix vectors: LE fixes expose their event counters the way
+        # the reference does (fix_extrusion.cpp:1496-1501: [1] = count at
+        # the most recent event, [2] = cumulative total; here [1] is the
+        # delta since the previous thermo row — equal whenever thermo
+        # brackets single events)
+        import re as _re
+
+        fixvec_counter = {}
+        for fid_, fobj in self.fixes.items():
+            kind = type(fobj).__name__
+            counter = {"Extrusion": "n_moves", "ExLoad": "n_loads",
+                       "ExUnload": "n_unloads"}.get(kind)
+            if counter:
+                fixvec_counter[fid_] = counter
+        # delta state persists across `run` commands so f_ID[1] rows in a
+        # staged deck keep counting from the previous stage
+        self._fixvec_prev = getattr(self, "_fixvec_prev", {})
+
         cols = []
         headers = []
         for c in self.thermo_columns:
+            m = _re.fullmatch(r"f_(\w+)\[([12])\]", c)
             if c in keymap:
                 cols.append(keymap[c])
                 headers.append(names[keymap[c]])
             elif c.startswith("c_") and c[2:] in getattr(self, "computes", {}):
                 cols.append(c)
                 headers.append(c)
-            # unknown columns silently skipped
+            elif m and m.group(1) in fixvec_counter:
+                cols.append(c)
+                headers.append(c)
+            else:
+                # the reference errors on unknown thermo keywords
+                # (thermo.cpp parse_fields); silent skipping hides typos
+                raise DeckError(f"unknown thermo_style custom column {c!r}")
         if not cols:
             cols = ["step", "temp", "epair", "ebond", "etotal", "press",
                     "n_extruders"]
@@ -555,6 +583,17 @@ class DeckRunner:
                 if c.startswith("c_"):
                     txt.append(f"{self._compute_value(c[2:], st):>12.6g}"
                                if st is not None else f"{0.0:>12.6g}")
+                    continue
+                if c.startswith("f_"):
+                    m = _re.fullmatch(r"f_(\w+)\[([12])\]", c)
+                    counter = fixvec_counter[m.group(1)]
+                    total = int(getattr(st, counter)) if st is not None else 0
+                    if m.group(2) == "2":
+                        txt.append(f"{total:>12d}")
+                    else:
+                        prev = self._fixvec_prev.get(c, 0)
+                        self._fixvec_prev[c] = total
+                        txt.append(f"{total - prev:>12d}")
                     continue
                 v = vals[c]
                 if c in ("step", "n_extruders"):

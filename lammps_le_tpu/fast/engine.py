@@ -378,6 +378,12 @@ def make_kernel(system: System, maps: _FastMaps, ex_btype: int):
     r0sq = r0f * r0f
     wca_cutsq = 2.0 ** (1.0 / 3.0) * sigf * sigf
     wca_floorsq = 0.5625 * sigf * sigf
+    # blast shield: a legitimate bonded pair inside the +-1 stencil is
+    # always shorter than 2 cells; anything longer is a frame/wrap artifact
+    # and must degrade to a *flagged missing bond* (FLAG_BOND_REACH via the
+    # nb_found balance below), never a clamped-FENE force over a phantom
+    # box-length displacement
+    bond_reach_sq = (2.0 * system.neighbor.cell_size) ** 2
     interior = jnp.asarray(maps.interior)
 
     def kernel(gx, bid, hn, pid, energy: bool):
@@ -427,7 +433,9 @@ def make_kernel(system: System, maps: _FastMaps, ex_btype: int):
             ffac = fp
 
             if kf != 0.0:
-                w_b = jnp.where(bonded & nz_pair, int_i, jnp.zeros_like(rsq))
+                in_reach = rsq < bond_reach_sq
+                w_b = jnp.where(bonded & nz_pair & in_reach, int_i,
+                                jnp.zeros_like(rsq))
                 rsq_b = jnp.where(bonded & nz_pair, rsq, jnp.ones_like(rsq))
                 rlog = 1.0 - rsq_b / r0sq
                 cl = rlog < 0.1
@@ -955,27 +963,36 @@ def run_fast_replicas(sim, state: State, n_replicas: int, nsteps: int,
     return fs
 
 
-_FAST_CACHE: dict = {}
+def _lru_caches():
+    from ..integrate.verlet import _LRU
+
+    return _LRU(), _LRU()
+
+
+_FAST_CACHE, _TOFAST_CACHE = None, None
 
 
 def _compiled_fast(sim, thermo_every: int):
+    global _FAST_CACHE, _TOFAST_CACHE
+    if _FAST_CACHE is None:
+        _FAST_CACHE, _TOFAST_CACHE = _lru_caches()
     key = (id(sim), thermo_every)
     hit = _FAST_CACHE.get(key)
     if hit is not None:
         return hit[0], hit[1]
     segment, step = make_fast_segment(sim, thermo_every)
     jseg = jax.jit(segment)
-    _FAST_CACHE[key] = (jseg, step, sim)
+    _FAST_CACHE.put(key, (jseg, step, sim))
     return jseg, step
 
 
-_TOFAST_CACHE: dict = {}
-
-
 def _jit_to_fast(sim):
+    global _FAST_CACHE, _TOFAST_CACHE
+    if _TOFAST_CACHE is None:
+        _FAST_CACHE, _TOFAST_CACHE = _lru_caches()
     key = id(sim)
     hit = _TOFAST_CACHE.get(key)
     if hit is None:
         hit = (jax.jit(lambda s: to_fast(s, sim)), sim)
-        _TOFAST_CACHE[key] = hit
+        _TOFAST_CACHE.put(key, hit)
     return hit[0]

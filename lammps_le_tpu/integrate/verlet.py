@@ -198,7 +198,7 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
         elif isinstance(f, ExUnload):
             event_updates.append((f, fid, make_ex_unload_update(system, f)))
 
-    def step(state: State) -> State:
+    def step(state: State, run_begin=None, run_end=None) -> State:
         dtype = state.x.dtype
         step_no = state.step + 1
         masses = jnp.asarray(masses_np, dtype)
@@ -303,7 +303,21 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
                 ),
                 lf.seed,
             )
-            t_target = jnp.asarray(lf.t_start, dtype)
+            # t_start -> t_stop interpolation over the run
+            # (fix_langevin.cpp:97-145: delta = (ntimestep - beginstep) /
+            # (endstep - beginstep)); callers without run bounds (direct
+            # step invocation) get t_start
+            if run_begin is None or lf.t_stop == lf.t_start:
+                t_target = jnp.asarray(lf.t_start, dtype)
+            else:
+                span = jnp.maximum((run_end - run_begin).astype(dtype), 1.0)
+                frac = jnp.clip(
+                    (step_no - run_begin).astype(dtype) / span, 0.0, 1.0
+                )
+                t_target = jnp.asarray(lf.t_start, dtype) + frac * (
+                    jnp.asarray(lf.t_stop, dtype)
+                    - jnp.asarray(lf.t_start, dtype)
+                )
             gamma1 = -m / lf.damp / units.ftm2v
             gamma2 = (
                 jnp.sqrt(m)
@@ -362,7 +376,25 @@ def setup(sim: Simulation, state: State) -> State:
 # Compiled segment cache: one entry per (Simulation, group-set) so repeated
 # ``run`` commands and thermo segments never recompile (the analog of the
 # reference building its integrator once per run setup, run.cpp:178).
-_SEGMENT_CACHE: dict = {}
+# Bounded LRU: id() keys stay valid because each value pins its sim; LRU
+# eviction (oldest first) keeps long-lived processes from accumulating one
+# compiled program per Simulation ever created.
+
+
+class _LRU(dict):
+    def __init__(self, cap=32):
+        super().__init__()
+        self.cap = cap
+
+    def put(self, key, value):
+        if key in self:
+            del self[key]
+        elif len(self) >= self.cap:
+            del self[next(iter(self))]
+        self[key] = value
+
+
+_SEGMENT_CACHE = _LRU()
 
 
 def _compiled(sim: Simulation, groups: Optional[dict]):
@@ -379,12 +411,14 @@ def _compiled(sim: Simulation, groups: Optional[dict]):
     step = make_step(sim, groups)
 
     @jax.jit
-    def segment(st, length):
-        return jax.lax.fori_loop(0, length, lambda i, s: step(s), st)
+    def segment(st, length, run_begin, run_end):
+        return jax.lax.fori_loop(
+            0, length, lambda i, s: step(s, run_begin, run_end), st
+        )
 
     setup_fn = jax.jit(lambda s: setup(sim, s))
     # keep `sim` alive in the value so the id() key can't be reused
-    _SEGMENT_CACHE[key] = (segment, setup_fn, sim)
+    _SEGMENT_CACHE.put(key, (segment, setup_fn, sim))
     return segment, setup_fn
 
 
@@ -431,6 +465,9 @@ def run(
 
     # normalize pytree structure (nbr dropped) so setup/segment compile once
     state = setup_fn(state.replace(nbr=None))
+    begin = int(jax.device_get(state.step))
+    run_begin = jnp.asarray(begin, jnp.int32)
+    run_end = jnp.asarray(begin + nsteps, jnp.int32)
     if thermo_every > 0:
         row = jax.device_get(thermo_row(state, system))
         rows.append(row)
@@ -446,7 +483,7 @@ def run(
         left = this
         while left > 0:
             chunk = min(left, max_segment)
-            state = segment(state, chunk)
+            state = segment(state, chunk, run_begin, run_end)
             if left > chunk:
                 # sync between chunks: keeps any single device execution
                 # bounded (remote-transport timeout guard)

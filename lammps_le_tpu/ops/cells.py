@@ -46,22 +46,49 @@ def minimum_image(d: jax.Array, box_size) -> jax.Array:
 
 def wrap_positions(x: jax.Array, system: System, img: jax.Array):
     """Remap positions into the primary box, updating image counters
-    (reference: src/domain.cpp:528 ``Domain::pbc``)."""
+    (reference: src/domain.cpp:528 ``Domain::pbc``).
+
+    The result is guaranteed to lie in [lo, hi): in f32, ``x - shift*box``
+    can round exactly onto ``hi`` (or a hair below ``lo``), which would put
+    the coordinate one full box out of frame with its cell assignment —
+    the cell index wraps to 0 while the coordinate stays at L.  Downstream,
+    any non-cutoff-masked in-cell interaction (the fast path's in-kernel
+    FENE) then acts across a phantom box-length displacement and detonates
+    (observed: a clamped-FENE force of 300*2L).  The reference has the same
+    guard in Domain::pbc (domain.cpp:541-561 re-checks bounds after the
+    shift)."""
     lo = jnp.asarray(system.box_lo, x.dtype)
     box = jnp.asarray(system.box_size, x.dtype)
+    hi = lo + box
     shift = jnp.floor((x - lo) / box).astype(jnp.int32)
     x = x - shift.astype(x.dtype) * box
+    over = x >= hi
+    x = jnp.where(over, x - box, x)
+    shift = shift + over.astype(jnp.int32)
+    under = x < lo
+    x = jnp.where(under, x + box, x)
+    shift = shift - under.astype(jnp.int32)
+    # a value that still rounds onto hi after the correction pins to lo
+    x = jnp.where(x >= hi, lo, x)
     return x, img + shift
 
 
 def cell_coords(x: jax.Array, system: System) -> jax.Array:
-    """(N, 3) integer cell coordinates of each bead."""
+    """(N, 3) integer cell coordinates of each bead.
+
+    Callers must pass positions already wrapped into [lo, hi)
+    (wrap_positions).  The assignment CLIPS rather than re-wrapping: in f32,
+    ``(x - lo)/box`` for x within a couple of ulps of ``hi`` rounds to 1.0,
+    and a frac-based re-wrap would then bin the bead into cell 0 while its
+    coordinate stays near ``hi`` — one full box out of frame with its cell,
+    which detonates any non-cutoff-masked in-cell interaction.  Clipping
+    keeps the cell consistent with the coordinate (error bounded by one
+    ulp, not one box)."""
     cfg = system.neighbor
     lo = jnp.asarray(system.box_lo, x.dtype)
     box = jnp.asarray(system.box_size, x.dtype)
     dims = jnp.asarray([cfg.nx, cfg.ny, cfg.nz], jnp.int32)
     s = (x - lo) / box
-    s = s - jnp.floor(s)  # robust wrap even if x slightly outside box
     c = jnp.floor(s * dims.astype(x.dtype)).astype(jnp.int32)
     return jnp.clip(c, 0, dims - 1)
 

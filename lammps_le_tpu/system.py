@@ -152,15 +152,21 @@ def make_neighbor_config(
     max_neighbors: int = 32,
     rebuild_every: int = 1,
     mode: str = "grid",
+    min_cell: float = 0.0,
 ) -> NeighborConfig:
     """Choose a static cell grid for the box.
 
     The cell edge is at least ``cutoff + skin`` so a 27-cell stencil covers
     all pairs that can come within the cutoff before the next rebuild
     (standard half-skin argument, reference: src/nbin_standard.cpp:53).
+    ``min_cell`` additionally floors the edge — the fast path evaluates
+    backbone FENE bonds inside the same stencil, so cells must cover the
+    longest bond the FENE clamp admits (r0*sqrt(0.9), bond_fene.cpp:87-92);
+    a shorter cell silently loses an overstretched bond's restoring force
+    and snaps the chain.
     Falls back to brute force when the box is too small for a 3x3x3 grid.
     """
-    want = max_cutoff + skin
+    want = max(max_cutoff + skin, min_cell)
     dims = [max(int(np.floor(s / want)), 1) for s in box_size]
     use_cells = all(d >= 3 for d in dims)
     if not use_cells:
@@ -238,6 +244,14 @@ def build_system(
     if neighbor_mode == "grid" and (special_lj[1] != 1.0 or special_lj[2] != 1.0):
         # grid path applies only 1-2 special weights; fall back otherwise
         neighbor_mode = "verlet"
+    min_cell = 0.0
+    if bonds is not None:
+        st = np.asarray(bonds.style)
+        co = np.asarray(bonds.coeffs)
+        fene_r0 = co[st == BOND_FENE, 1]
+        if fene_r0.size:
+            # cover bonds up to the FENE clamp length r0*sqrt(0.9) plus 2%
+            min_cell = 1.02 * np.sqrt(0.9) * float(np.max(fene_r0))
     ncfg = make_neighbor_config(
         box_size,
         max_cut,
@@ -246,6 +260,7 @@ def build_system(
         max_neighbors=max_neighbors,
         rebuild_every=rebuild_every,
         mode=neighbor_mode,
+        min_cell=min_cell,
     )
     return System(
         n=int(n),

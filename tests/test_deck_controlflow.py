@@ -1,0 +1,123 @@
+"""Deck control flow: loops, jumps, if/else, include, print, run upto,
+f_ID[n] fix vectors (reference: src/input.cpp:689-773, thermo.cpp:324)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lammps_le_tpu.deck import DeckRunner
+from lammps_le_tpu.deck.runner import DeckError
+from lammps_le_tpu.io.data import write_data
+from lammps_le_tpu.scene import serpentine
+
+HEADER = """
+units lj
+atom_style bond
+special_bonds fene
+read_data data.tiny
+neighbor 0.3 bin
+bond_style hybrid
+bond_coeff 1 fene 30.0 1.5 1.0 1.0
+bond_coeff 2 harmonic 10.0 1.1
+pair_style lj/cut 1.12
+pair_modify shift yes
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
+fix 1 all nve
+fix 2 all langevin 1.0 1.0 10.0 904297
+thermo 10
+timestep 0.005
+"""
+
+
+def _prep(td, body):
+    data = serpentine(200, seed=7, n_atom_types=4, n_bond_types=2,
+                      barrier_fraction=0.02)
+    write_data(os.path.join(td, "data.tiny"), data)
+    path = os.path.join(td, "in.deck")
+    with open(path, "w") as fh:
+        fh.write(HEADER + body)
+    return path
+
+
+def test_loop_jump_next(tmp_path):
+    td = str(tmp_path)
+    path = _prep(td, """
+variable i loop 3
+label stage
+print "stage $i begins"
+run 10
+next i
+jump SELF stage
+print done
+""")
+    r = DeckRunner(dtype="float32", quiet=True)
+    logged = []
+    r.log = lambda m: logged.append(m)
+    r.run_file(path)
+    assert int(r.state.step) == 30  # three staged runs of 10
+    stages = [m for m in logged if m.startswith("stage ")]
+    assert stages == ["stage 1 begins", "stage 2 begins", "stage 3 begins"]
+    assert "done" in logged
+
+
+def test_if_else_and_variables(tmp_path):
+    td = str(tmp_path)
+    path = _prep(td, """
+variable mode string hot
+if "${mode} == hot" then "run 10" else "run 20"
+variable n equal 2*5+10
+if "$n > 15" then "run $n"
+""")
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(path)
+    assert int(r.state.step) == 30  # 10 (then-branch) + 20 (n = 20)
+
+
+def test_include_and_run_upto(tmp_path):
+    td = str(tmp_path)
+    with open(os.path.join(td, "stage.inc"), "w") as fh:
+        fh.write("run 15\n")
+    path = _prep(td, """
+include stage.inc
+run 40 upto
+run 40 upto
+""")
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(path)
+    assert int(r.state.step) == 40  # 15 then upto-40 then no-op
+
+
+def test_fix_vector_thermo_columns(tmp_path):
+    td = str(tmp_path)
+    path = _prep(td, """
+fix loop all extrusion 10 1 2 3 0.5 2 4
+fix loading all ex_load 10 1 1 1.12 2 prob 0.5 684474 iparam 1 1 jparam 1 1
+fix unloading all ex_unload 10 2 0.5 prob 0.1 456456
+thermo_style custom step temp f_loop[1] f_loop[2] f_loading[2] f_unloading[2]
+run 30
+""")
+    r = DeckRunner(dtype="float32", quiet=True)
+    logged = []
+    r.log = lambda m: logged.append(m)
+    r.run_file(path)
+    rows = [m.split() for m in logged if m and m.split()[0].lstrip("-").isdigit()]
+    assert rows, logged
+    # cumulative totals (col 4 = f_loop[2]) are non-decreasing ints
+    totals = [int(row[3]) for row in rows]
+    assert totals == sorted(totals)
+    # f_loop[1] deltas sum to the final total
+    deltas = [int(row[2]) for row in rows]
+    assert sum(deltas) == totals[-1]
+
+
+def test_unknown_thermo_column_errors(tmp_path):
+    td = str(tmp_path)
+    path = _prep(td, """
+thermo_style custom step temp f_nosuch[1]
+run 10
+""")
+    r = DeckRunner(dtype="float32", quiet=True)
+    with pytest.raises(DeckError):
+        r.run_file(path)
