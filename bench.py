@@ -119,6 +119,16 @@ def main():
     sweep = [1, 2] if quick else [1, 4, 8]
     best = None
     for R in sweep:
+        if R > 4 and results:
+            prevR = max(results)
+            prev = results[prevR]
+            if (prev["flags"] & ~8) != 0:
+                log(f"skipping R={R}: smaller ensemble already unhealthy")
+                continue
+            if prevR > 1 and prev["agg_bead_steps_per_s"] <= \
+                    results[1]["agg_bead_steps_per_s"]:
+                log(f"skipping R={R}: no aggregate gain at R={prevR}")
+                continue
         vseg = jax.jit(jax.vmap(segment, in_axes=(0, None, None, None, None)))
 
         def rep(seed_i, s):
@@ -137,9 +147,16 @@ def main():
         fs = vseg(fs, b0, nwarm, b0, bend)
         jax.device_get(fs.step)
         compile_s = time.perf_counter() - t0
+        # chunked measurement: one long device execution through the
+        # tunnel risks a transport timeout that kills the TPU worker
+        chunk = 250
         t0 = time.perf_counter()
-        fs = vseg(fs, b0 + nwarm, nmeas, b0, bend)
-        jax.device_get(fs.step)
+        done = 0
+        while done < nmeas:
+            this = min(chunk, nmeas - done)
+            fs = vseg(fs, b0 + nwarm + done, this, b0, bend)
+            jax.device_get(fs.step)
+            done += this
         wall = time.perf_counter() - t0
         sps = nmeas / wall
         agg = sps * n_beads * R
@@ -147,21 +164,32 @@ def main():
         temp = float(jnp.mean(rows.temp))
         flags = int(jnp.bitwise_or.reduce(jnp.atleast_1d(fs.flags)))
         moves = int(jnp.sum(fs.n_moves))
+        clamps = int(jnp.sum(fs.n_clamps))
         n_ex = int(jnp.sum(fs.ex_left >= 0)) // R
         results[R] = {
             "steps_per_s": round(sps, 2),
             "agg_bead_steps_per_s": round(agg, 1),
             "temp": round(temp, 4),
             "flags": flags,
+            "clamp_events": clamps,
             "compile_s": round(compile_s, 1),
         }
         log(f"R={R}: {sps:.1f} steps/s, {agg/1e6:.1f} M bead-steps/s "
-            f"aggregate, T={temp:.3f}, flags={flags:#x}, moves={moves}")
+            f"aggregate, T={temp:.3f}, flags={flags:#x}, moves={moves}, "
+            f"clamps={clamps}")
         if best is None or agg > best[1]:
-            best = (R, agg, sps, temp, flags, moves, n_ex, wall)
+            best = (R, agg, sps, temp, flags, moves, clamps, n_ex, wall)
 
-    R, agg, sps, temp, flags, moves, n_ex, wall = best
-    healthy = bool(np.isfinite(temp)) and 0.5 < temp < 2.0 and flags == 0
+    R, agg, sps, temp, flags, moves, clamps, n_ex, wall = best
+    # FENE clamps are warning-class (the reference warns per occurrence and
+    # continues, bond_fene.cpp:88); bound them by the LE event count.  All
+    # other flags are error-class and must be clean.
+    from lammps_le_tpu.state import FLAG_FENE_CLAMP
+
+    err_flags = flags & ~FLAG_FENE_CLAMP
+    clamp_bound = 20 * max(moves, 1)
+    healthy = (bool(np.isfinite(temp)) and 0.5 < temp < 2.0
+               and err_flags == 0 and clamps <= clamp_bound)
     events_per_s = moves / wall
 
     print(json.dumps({
@@ -180,6 +208,7 @@ def main():
             "temp": round(temp, 4),
             "healthy": healthy,
             "flags": flags,
+            "clamp_events": clamps,
             "replica_sweep": results,
         },
     }))

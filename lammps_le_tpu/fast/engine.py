@@ -171,6 +171,10 @@ class FastState:
     n_moves: jax.Array
     n_loads: jax.Array
     n_unloads: jax.Array
+    # FENE clamp events (bond_fene.cpp:87-92 warns per occurrence and
+    # continues; a bounded count during violent transients is expected,
+    # an unbounded one is not)
+    n_clamps: jax.Array = None
 
 
 # ---------------------------------------------------------------------------
@@ -402,7 +406,7 @@ def make_kernel(system: System, maps: _FastMaps, ex_btype: int):
         e_lj = jnp.zeros((), dtype)
         e_b = jnp.zeros((), dtype)
         nb_found = jnp.zeros((), dtype)
-        clamp = jnp.zeros((), bool)
+        n_clamp = jnp.zeros((), dtype)
 
         for (a, b, c) in _OFFSETS:
             delta = a * sx + b * sy + c * sz
@@ -450,7 +454,7 @@ def make_kernel(system: System, maps: _FastMaps, ex_btype: int):
                 )
                 ffac = ffac + fb * w_b
                 nb_found = nb_found + jnp.sum(w_b)
-                clamp = clamp | jnp.any(cl & (w_b > 0))
+                n_clamp = n_clamp + jnp.sum(jnp.where(cl, w_b, 0.0))
                 if energy:
                     eb = -0.5 * kf * r0sq * jnp.log(rlog) + jnp.where(
                         wca, 4.0 * epsf * sr6 * (sr6 - 1.0) + epsf, 0.0
@@ -475,10 +479,12 @@ def make_kernel(system: System, maps: _FastMaps, ex_btype: int):
             0.5 * nb_found < n_links - 0.5,
             jnp.uint32(FLAG_BOND_REACH), jnp.uint32(0),
         )
+        # sightings are double-counted (full stencil): /2 gives bond events
+        clamps = (0.5 * n_clamp).astype(jnp.int32)
         fl = reach | jnp.where(
-            clamp, jnp.uint32(FLAG_FENE_CLAMP), jnp.uint32(0)
+            clamps > 0, jnp.uint32(FLAG_FENE_CLAMP), jnp.uint32(0)
         )
-        return gf, e_lj, e_b, fl
+        return gf, e_lj, e_b, fl, clamps
 
     return kernel
 
@@ -610,7 +616,7 @@ def to_fast(state: State, sim) -> FastState:
         state.ex_right, state.img,
     )
     kernel = make_kernel(system, maps, sim.ex_btype)
-    gf, e_lj, e_b, kfl = kernel(gx, bid, hn, pid, True)
+    gf, e_lj, e_b, kfl, clamps = kernel(gx, bid, hn, pid, True)
     ex_pass = make_extruder_pass(system, maps, sim.ex_btype)
     if ex_pass is not None:
         gf, eb2 = ex_pass(gx, gf, exl, exr, state.ex_left >= 0, True)
@@ -625,6 +631,7 @@ def to_fast(state: State, sim) -> FastState:
         epair=e_lj, ebond=e_b,
         n_moves=state.n_moves, n_loads=state.n_loads,
         n_unloads=state.n_unloads,
+        n_clamps=jnp.zeros((), jnp.int32) + clamps,
     )
 
 
@@ -721,9 +728,32 @@ def make_fast_segment(sim, thermo_every: int = 0):
         else:
             event_updates.append((f, fid, make_ex_unload_update(system, f)))
 
-    halfskin_sq = (0.5 * system.neighbor.skin) ** 2
+    # half-skin displacement bound from the ACTUAL cell margin (the cell
+    # edge is >= cutoff + requested skin and may exceed it through min_cell
+    # or grid rounding — the coverage guarantee scales with the real
+    # margin, reference: src/neighbor.cpp:1948 uses skin/2 of the real skin)
+    min_edge = min(
+        b / d for b, d in zip(
+            system.box_size,
+            (system.neighbor.nx, system.neighbor.ny, system.neighbor.nz),
+        )
+    )
+    pp = system.pair
+    max_cut = float(np.max(np.asarray(pp.cutoff))) if pp is not None else 0.0
+    halfskin_sq = (0.5 * max(min_edge - max_cut, 1e-6)) ** 2
     capP = maps.cap * maps.P
     interior = jnp.asarray(maps.interior)
+    # LE events rewire bonds: rebuild immediately afterwards like the
+    # reference's next_reneighbor = ntimestep (fix_extrusion.cpp:797) —
+    # the predicate stays a function of the scalar step, so it survives
+    # vmap as a true cond
+    event_phases = [(f.nevery, f.phase) for f in event_fixes]
+
+    def rebuild_due(sstep):
+        due = (sstep % K) == 0
+        for nev, ph in event_phases:
+            due = due | ((sstep % nev) == ph)
+        return due
 
     def occupancy(fs):
         return _partner_of(fs.ex_left, fs.ex_right, n) >= 0
@@ -803,7 +833,7 @@ def make_fast_segment(sim, thermo_every: int = 0):
         energy_on = (sstep % energy_every) == 0
 
         def with_e(fs):
-            gf, el, eb, fl = kernel(fs.gx, fs.bid, fs.hn, fs.pid, True)
+            gf, el, eb, fl, ncl = kernel(fs.gx, fs.bid, fs.hn, fs.pid, True)
             if ex_pass is not None:
                 gf, eb2 = ex_pass(fs.gx, gf, fs.exl_slot, fs.exr_slot,
                                   fs.ex_left >= 0, True)
@@ -811,14 +841,16 @@ def make_fast_segment(sim, thermo_every: int = 0):
             finite = jnp.isfinite(el) & jnp.isfinite(eb)
             nf = jnp.where(finite, jnp.uint32(0), jnp.uint32(FLAG_NON_FINITE))
             return fs.replace(gf=gf, epair=el, ebond=eb,
-                              flags=fs.flags | fl | nf)
+                              flags=fs.flags | fl | nf,
+                              n_clamps=fs.n_clamps + ncl)
 
         def no_e(fs):
-            gf, el, eb, fl = kernel(fs.gx, fs.bid, fs.hn, fs.pid, False)
+            gf, el, eb, fl, ncl = kernel(fs.gx, fs.bid, fs.hn, fs.pid, False)
             if ex_pass is not None:
                 gf, _ = ex_pass(fs.gx, gf, fs.exl_slot, fs.exr_slot,
                                 fs.ex_left >= 0, False)
-            return fs.replace(gf=gf, flags=fs.flags | fl)
+            return fs.replace(gf=gf, flags=fs.flags | fl,
+                              n_clamps=fs.n_clamps + ncl)
 
         if energy_every == 1:
             return with_e(fs)
@@ -841,7 +873,7 @@ def make_fast_segment(sim, thermo_every: int = 0):
 
         # neighbor maintenance (neighbor.cpp:1933 decide() analog)
         fs = skin_check(fs)
-        fs = jax.lax.cond((sstep % K) == 0, rebuild, lambda fs: fs, fs)
+        fs = jax.lax.cond(rebuild_due(sstep), rebuild, lambda fs: fs, fs)
         valid = vmask(fs)  # slot layout may have changed
 
         # halo refresh (comm_brick.cpp:452 forward_comm analog)

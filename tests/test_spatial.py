@@ -1,0 +1,140 @@
+"""Spatial (sp) sharding equivalence: a cell-slab-sharded fast step over an
+8-device mesh must reproduce the unsharded trajectory (the TPU analog of
+the reference's serial-vs-parallel bench matrix, bench/README 1/4-rank
+logs — but as an exact in-process assertion rather than eyeballed logs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lammps_le_tpu.fast import from_fast, to_fast
+from lammps_le_tpu.fast.engine import make_fast_segment
+from lammps_le_tpu.fixes import NVE, Extrusion, ExLoad, ExUnload, Langevin
+from lammps_le_tpu.integrate import Simulation, run as run_general
+from lammps_le_tpu.io.data import system_from_data
+from lammps_le_tpu.ops.cells import minimum_image
+from lammps_le_tpu.parallel.spatial import (
+    make_replicated_sharded_segment,
+    make_sharded_segment,
+    shard_fast_state,
+)
+from lammps_le_tpu.scene import serpentine
+from lammps_le_tpu.state import init_state
+from lammps_le_tpu.system import BondParams, PairLJCut, BOND_FENE, BOND_HARMONIC
+
+
+@pytest.fixture(scope="module")
+def melt():
+    n = 2000
+    data = serpentine(n, spacing=0.97, row_gap=1.1, seed=7,
+                      barrier_fraction=0.01)
+    ones = np.ones((4, 4))
+    pair = PairLJCut(epsilon=ones, sigma=ones, cutoff=1.12 * ones, shift=True)
+    bonds = BondParams(
+        style=np.array([BOND_FENE, BOND_HARMONIC]),
+        coeffs=np.array([[30.0, 1.5, 1.0, 1.0], [3.0, 1.1, 0.0, 0.0]]),
+    )
+    system, _ = system_from_data(
+        data, pair=pair, bonds=bonds, dtype="float64", ex_btype=2,
+        max_extruders=32, skin=0.3, rebuild_every=2, cell_cap=10,
+    )
+    warm = Simulation(system=system, dt=0.006,
+                      fixes=(NVE(), Langevin(1.0, 1.0, 1.0, seed=5)),
+                      ex_btype=2)
+    state = init_state(system, data.x, types=data.types, seed=11)
+    state, _ = run_general(warm, state, 120)
+    left = np.full(32, -1, np.int32)
+    right = np.full(32, -1, np.int32)
+    left[:8] = np.arange(8) * 220 + 3
+    right[:8] = left[:8] + 2
+    state = state.replace(
+        ex_left=jnp.asarray(left), ex_right=jnp.asarray(right),
+        flags=jnp.zeros((), jnp.uint32),
+    )
+    return system, state
+
+
+def _le_sim(system):
+    return Simulation(
+        system=system, dt=0.006,
+        fixes=(
+            NVE(),
+            Langevin(1.0, 1.0, 10.0, seed=904297),
+            Extrusion(nevery=8, neutral_type=1, ctcf_left=2, ctcf_right=3,
+                      through_prob=0.5, btype=2, ctcf_left_right=4),
+            ExLoad(nevery=8, iatomtype=1, jatomtype=1, cutoff=1.12, btype=2,
+                   fraction=0.2, seed=42, imaxbond=1, inewtype=1,
+                   jmaxbond=1, jnewtype=1),
+            ExUnload(nevery=8, btype=2, cutoff=0.5, fraction=0.5, seed=99),
+        ),
+        ex_btype=2,
+    )
+
+
+def _args(begin, n):
+    return (jnp.asarray(begin, jnp.int32), jnp.asarray(n, jnp.int32),
+            jnp.asarray(begin, jnp.int32), jnp.asarray(begin + n, jnp.int32))
+
+
+def test_sp_sharded_step_equals_unsharded(melt):
+    system, state = melt
+    sim = _le_sim(system)
+    segment, _ = make_fast_segment(sim)
+    nsteps = 20
+
+    fs0 = to_fast(state, sim)
+    b, n, rb, re = _args(int(state.step), nsteps)
+    ref = jax.jit(segment)(fs0, b, n, rb, re)
+
+    devices = jax.devices()[:8]
+    assert len(devices) == 8, "conftest provisions 8 virtual CPU devices"
+    mesh = Mesh(np.asarray(devices), axis_names=("sp",))
+    with mesh:
+        fs_sh = shard_fast_state(to_fast(state, sim), mesh)
+        seg_sh = make_sharded_segment(sim, mesh)
+        out = seg_sh(fs_sh, b, n, rb, re)
+
+    ref_st = from_fast(ref, system)
+    out_st = from_fast(out, system)
+    dx = minimum_image(out_st.x - ref_st.x, system.box_size)
+    assert float(jnp.max(jnp.abs(dx))) < 1e-11
+    assert float(jnp.max(jnp.abs(out_st.v - ref_st.v))) < 1e-11
+    assert bool(jnp.all(out_st.ex_left == ref_st.ex_left))
+    assert int(out_st.flags) == int(ref_st.flags) == 0
+    # extruder table really is replicated, not sharded over sp
+    sh = out.ex_left.sharding
+    assert sh.is_fully_replicated
+
+
+def test_dp_sp_mesh_replicas(melt):
+    system, state = melt
+    sim = _le_sim(system)
+    nsteps = 12
+    devices = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devices).reshape(4, 2), axis_names=("dp", "sp"))
+
+    def rep(seed_i, s):
+        return to_fast(s.replace(key=jax.random.fold_in(s.key, seed_i)), sim)
+
+    fs = jax.vmap(rep, in_axes=(0, None))(
+        jnp.arange(4, dtype=jnp.int32), state
+    )
+    b, n, rb, re = _args(int(state.step), nsteps)
+
+    # unsharded reference: plain vmap on one device
+    segment, _ = make_fast_segment(sim)
+    vseg = jax.jit(jax.vmap(segment, in_axes=(0, None, None, None, None)))
+    ref = vseg(fs, b, n, rb, re)
+
+    with mesh:
+        fs_sh = shard_fast_state(fs, mesh, sp_axis="sp", dp_axis="dp")
+        seg = make_replicated_sharded_segment(sim, mesh)
+        out = seg(fs_sh, b, n, rb, re)
+
+    np.testing.assert_allclose(
+        np.asarray(out.gx), np.asarray(ref.gx), rtol=0, atol=1e-11
+    )
+    assert bool(jnp.all(out.ex_left == ref.ex_left))
