@@ -310,16 +310,221 @@ def validate_barrier_stall(lmp, n_beads=1000, nevery=50, steps=1000):
     return ok
 
 
+LE_TURNOVER_TAIL = """
+fix loading all ex_load {nevery} 1 1 1.12 2 prob {pload} 684474 iparam 1 1 jparam 1 1
+fix unloading all ex_unload {nevery} 2 0.5 prob {punload} 456456
+dump pos all custom {sample} pos.dump id x y z
+run {steps}
+"""
+
+
+def parse_pos_dump(path, n):
+    """timestep -> (n, 3) positions from a custom id x y z dump."""
+    frames = {}
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    i = 0
+    while i < len(lines):
+        if lines[i] == "ITEM: TIMESTEP":
+            ts = int(lines[i + 1])
+            while not lines[i].startswith("ITEM: ATOMS"):
+                i += 1
+            i += 1
+            x = np.zeros((n, 3))
+            for _ in range(n):
+                p = lines[i].split()
+                x[int(p[0]) - 1] = [float(p[1]), float(p[2]), float(p[3])]
+                i += 1
+            frames[ts] = x
+        else:
+            i += 1
+    return frames
+
+
+def contact_ps(frames, box, rc=2.0, smax=600):
+    """Contact probability vs genomic separation, log-binned.
+
+    The SAME analysis runs on both engines' trajectories (positions only),
+    so any binning/minimum-image convention cancels in the comparison.
+    """
+    box = np.asarray(box)
+    edges = np.unique(np.geomspace(2, smax, 24).astype(int))
+    counts = np.zeros(len(edges) - 1)
+    totals = np.zeros(len(edges) - 1)
+    nframes = 0
+    for x in frames:
+        n = len(x)
+        nframes += 1
+        # chunked pair distances
+        for i0 in range(0, n, 500):
+            xi = x[i0:i0 + 500]
+            d = xi[:, None, :] - x[None, :, :]
+            d -= box * np.round(d / box)
+            rsq = (d * d).sum(-1)
+            ii, jj = np.nonzero(rsq < rc * rc)
+            s = np.abs((ii + i0) - jj)
+            s = s[s >= 2]
+            c, _ = np.histogram(s, bins=edges)
+            counts += c
+    # normalize by the number of (i, j) pairs available at each separation
+    n = len(frames[0])
+    for k in range(len(edges) - 1):
+        nsep = sum(max(n - s, 0) for s in range(edges[k], edges[k + 1]))
+        totals[k] = 2 * nsep * nframes  # both (i,j) and (j,i) counted
+    ps = np.divide(counts, np.maximum(totals, 1))
+    return edges, counts, ps
+
+
+def validate_contact_maps(lmp, n_beads=2000, steps=60000, nevery=25,
+                          sample=500):
+    """BASELINE acceptance gate: contact P(s) curves and loop-size
+    distributions from full LE turnover (extrusion + load/unload +
+    barriers) must match between engines within statistical error."""
+    rng = np.random.default_rng(5)
+    barriers = {}
+    for b in rng.choice(np.arange(50, n_beads - 50), size=20, replace=False):
+        barriers[int(b)] = int(rng.integers(2, 4))  # ctcf left/right
+
+    def deck_text(steps):
+        head = LE_DECK_REF.format(nevery=nevery, prob=0.5,
+                                  dump_every=10 ** 9, steps=0)
+        head = "\n".join(l for l in head.splitlines()
+                         if not l.startswith(("compute", "dump")))
+        head = head.rstrip() + "\n" + LE_TURNOVER_TAIL.format(
+            nevery=nevery, pload=0.2, punload=0.05, sample=sample,
+            steps=steps,
+        )
+        return head
+
+    burn = steps // 3
+
+    # --- reference ---
+    with tempfile.TemporaryDirectory() as td:
+        from lammps_le_tpu.io.data import write_data
+
+        data = make_le_data(n_beads, extruder_at=(998, 1002),
+                            barriers=barriers)
+        write_data(os.path.join(td, "data.le"), data)
+        log("running reference lmp LE turnover (this is the long one) ...")
+        text = run_lmp(lmp, deck_text(steps), td)
+        rframes = parse_pos_dump(os.path.join(td, "pos.dump"), n_beads)
+        ref_frames = [x for ts, x in sorted(rframes.items()) if ts >= burn]
+        # loop sizes from the thermo-free route: re-run? instead parse the
+        # extruder bonds via a local dump would need another run; use the
+        # spans encoded in f_loop? -> simplest: reference loop sizes via a
+        # second short bonds dump run is costly; compare loop statistics
+        # through OUR tables vs reference CONTACTS only when bonds absent.
+    # loop-size distribution needs bonds; rerun reference with a local dump
+    with tempfile.TemporaryDirectory() as td:
+        from lammps_le_tpu.io.data import write_data
+
+        data = make_le_data(n_beads, extruder_at=(998, 1002),
+                            barriers=barriers)
+        write_data(os.path.join(td, "data.le"), data)
+        deck = deck_text(steps).replace(
+            "dump pos all custom", "#dump pos all custom"
+        )
+        deck = deck.replace(
+            "run {}".format(steps),
+            "compute bl all property/local btype batom1 batom2\n"
+            f"dump bonds all local {sample} bonds.dump "
+            "c_bl[1] c_bl[2] c_bl[3]\n"
+            f"run {steps}",
+        )
+        log("running reference lmp LE turnover (bond dump pass) ...")
+        run_lmp(lmp, deck, td)
+        bframes = parse_bond_dump(os.path.join(td, "bonds.dump"))
+        ref_loops = [abs(j - i) for ts, ent in bframes.items()
+                     if ts >= burn for (i, j) in ent]
+
+    # --- ours (same decks through the deck runner, fast path untouched:
+    #     the deck runner uses the general engine — physics-equivalent) ---
+    from lammps_le_tpu.deck import DeckRunner
+
+    with tempfile.TemporaryDirectory() as td:
+        from lammps_le_tpu.io.data import write_data
+
+        data = make_le_data(n_beads, extruder_at=(998, 1002),
+                            barriers=barriers)
+        write_data(os.path.join(td, "data.le"), data)
+        deck = deck_text(0)
+        deck = deck.replace("read_data data.le extra/bond/per/atom 2 "
+                            "extra/special/per/atom 8", "read_data data.le")
+        deck = "\n".join(l for l in deck.splitlines()
+                         if not l.startswith("dump "))
+        with open(os.path.join(td, "in.le"), "w") as fh:
+            fh.write(deck)
+        r = DeckRunner(dtype="float32", quiet=True)
+        r.run_file(os.path.join(td, "in.le"))
+        our_frames = []
+        our_loops = []
+        log("running lammps_le_tpu LE turnover ...")
+        for done in range(0, steps, sample):
+            r.command("run", [str(sample)])
+            st = r.state
+            if int(st.step) >= burn:
+                our_frames.append(np.asarray(st.x, np.float64))
+                act = np.asarray(st.ex_left) >= 0
+                our_loops.extend(
+                    (np.asarray(st.ex_right)[act]
+                     - np.asarray(st.ex_left)[act]).tolist()
+                )
+        box = r.system.box_size
+
+    edges, rc_counts, ref_ps = contact_ps(ref_frames, box)
+    _, oc_counts, our_ps = contact_ps(our_frames, box)
+
+    print("contact P(s) comparison (log-binned separations):")
+    ok = True
+    for k in range(len(edges) - 1):
+        cmin = min(rc_counts[k], oc_counts[k])
+        if cmin < 200:
+            continue  # too noisy to gate on
+        ratio = our_ps[k] / max(ref_ps[k], 1e-12)
+        tol = 0.25 + 4.0 / np.sqrt(cmin)
+        status = "OK" if abs(ratio - 1) < tol else "MISMATCH"
+        if abs(ratio - 1) >= tol:
+            ok = False
+        print(f"  s in [{edges[k]:4d},{edges[k+1]:4d}): ref={ref_ps[k]:.3e} "
+              f"ours={our_ps[k]:.3e} ratio={ratio:.3f} (n={int(cmin)}) "
+              f"{status}")
+
+    ref_loops = np.asarray(ref_loops, float)
+    our_loops = np.asarray(our_loops, float)
+    print(f"loop sizes: ref n={len(ref_loops)} mean={ref_loops.mean():.1f} "
+          f"median={np.median(ref_loops):.1f}; "
+          f"ours n={len(our_loops)} mean={our_loops.mean():.1f} "
+          f"median={np.median(our_loops):.1f}")
+    mean_rel = abs(ref_loops.mean() - our_loops.mean()) / ref_loops.mean()
+    # two-sample KS distance
+    allv = np.unique(np.concatenate([ref_loops, our_loops]))
+    cdf_r = np.searchsorted(np.sort(ref_loops), allv, "right") / len(ref_loops)
+    cdf_o = np.searchsorted(np.sort(our_loops), allv, "right") / len(our_loops)
+    ks = float(np.max(np.abs(cdf_r - cdf_o)))
+    print(f"loop-size: mean rel diff {mean_rel:.3f}, KS distance {ks:.3f}")
+    if mean_rel > 0.20 or ks > 0.20:
+        ok = False
+    print(f"contact-map / loop-statistics: {'OK' if ok else 'MISMATCH'}")
+    return ok
+
+
 def main():
     lmp = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lmpbuild/lmp"
     if not os.path.exists(lmp):
         print(f"reference binary {lmp} not found", file=sys.stderr)
         return 1
-    ok1 = validate_chain(lmp)
-    ok2 = validate_extrusion_kinetics(lmp)
-    ok3 = validate_barrier_stall(lmp)
-    print("PASS" if (ok1 and ok2 and ok3) else "FAIL")
-    return 0 if (ok1 and ok2 and ok3) else 1
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    oks = []
+    if which in ("all", "chain"):
+        oks.append(validate_chain(lmp))
+    if which in ("all", "kinetics"):
+        oks.append(validate_extrusion_kinetics(lmp))
+    if which in ("all", "stall"):
+        oks.append(validate_barrier_stall(lmp))
+    if which in ("all", "contact"):
+        oks.append(validate_contact_maps(lmp))
+    print("PASS" if all(oks) else "FAIL")
+    return 0 if all(oks) else 1
 
 
 if __name__ == "__main__":

@@ -489,6 +489,27 @@ def make_kernel(system: System, maps: _FastMaps, ex_btype: int):
     return kernel
 
 
+def select_kernel(system: System, maps: _FastMaps, ex_btype: int):
+    """Pick the stencil-kernel backend: the Pallas VMEM-resident kernel on
+    TPU f32 (LLE_FAST_PALLAS=0 opts out), the XLA chain elsewhere.  Both
+    are physics-identical (tests/test_pallas_kernel.py pins equality)."""
+    import os
+
+    # opt-IN until the on-hardware run is validated: the first TPU
+    # execution hung on device (suspected DMA wait deadlock) even though
+    # interpret-mode equality passes — do not make unproven kernels the
+    # default for the driver's bench
+    if (
+        os.environ.get("LLE_FAST_PALLAS", "0") == "1"
+        and jnp.dtype(system.dtype) == jnp.float32
+        and jax.default_backend() == "tpu"
+    ):
+        from .pallas_kernel import make_pallas_kernel
+
+        return make_pallas_kernel(system, maps, ex_btype)
+    return make_kernel(system, maps, ex_btype)
+
+
 def make_extruder_pass(system: System, maps: _FastMaps, ex_btype: int):
     """Extruder-spring forces straight on the planes.
 
@@ -615,7 +636,7 @@ def to_fast(state: State, sim) -> FastState:
         system, maps, state.x, state.v, state.type, state.ex_left,
         state.ex_right, state.img,
     )
-    kernel = make_kernel(system, maps, sim.ex_btype)
+    kernel = select_kernel(system, maps, sim.ex_btype)
     gf, e_lj, e_b, kfl, clamps = kernel(gx, bid, hn, pid, True)
     ex_pass = make_extruder_pass(system, maps, sim.ex_btype)
     if ex_pass is not None:
@@ -710,7 +731,7 @@ def make_fast_segment(sim, thermo_every: int = 0):
         # keep thermo rows from reading stale energies (VERDICT r1 weak #8)
         energy_every = np.gcd(thermo_every, energy_every)
 
-    kernel = make_kernel(system, maps, sim.ex_btype)
+    kernel = select_kernel(system, maps, sim.ex_btype)
     ex_pass = make_extruder_pass(system, maps, sim.ex_btype)
 
     langevin = [f for f in sim.fixes if isinstance(f, Langevin)]
@@ -746,13 +767,24 @@ def make_fast_segment(sim, thermo_every: int = 0):
     # LE events rewire bonds: rebuild immediately afterwards like the
     # reference's next_reneighbor = ntimestep (fix_extrusion.cpp:797) —
     # the predicate stays a function of the scalar step, so it survives
-    # vmap as a true cond
+    # vmap as a true cond.  Extrusion moves additionally snap the extruder
+    # spring shut, overstretching backbone bonds behind the anchors for
+    # ~one spring-contraction time; rebuild EVERY step for a window after
+    # each extrusion event so the clamp-force transient cannot outrun the
+    # half-skin budget (the displacement-triggered decide() would have
+    # rebuilt there too, src/neighbor.cpp:1933).
     event_phases = [(f.nevery, f.phase) for f in event_fixes]
+    hot_windows = [
+        (f.nevery, f.phase, min(150, max(f.nevery // 4, 1)))
+        for f in event_fixes if isinstance(f, Extrusion)
+    ]
 
     def rebuild_due(sstep):
         due = (sstep % K) == 0
         for nev, ph in event_phases:
             due = due | ((sstep % nev) == ph)
+        for nev, ph, w in hot_windows:
+            due = due | (((sstep - ph) % nev) < w)
         return due
 
     def occupancy(fs):

@@ -27,15 +27,26 @@ def make_contact_fn(system: System, radius: float = 2.0, nbins: int = 256):
     """
     n = system.n
     rcsq = radius * radius
+
+    # the contact radius can exceed the pair grid's one-cell stencil reach
+    # (standard LE analysis uses 2.0 sigma vs ~1.5 sigma cells): derive a
+    # dedicated coarser grid whose cells cover the radius
+    if radius > system.neighbor.cell_size:
+        from ..system import make_neighbor_config
+        import numpy as _np
+
+        box = system.box_size
+        density = n / float(_np.prod(_np.asarray(box)))
+        cap = max(8, int(_np.ceil(4.0 * density * radius ** 3)))
+        ncfg = make_neighbor_config(box, radius, skin=0.0, cell_cap=cap)
+        system = system.replace(neighbor=ncfg)
+    assert radius <= system.neighbor.cell_size, (
+        f"contact radius {radius} exceeds even a dedicated grid's reach "
+        f"{system.neighbor.cell_size} (box too small)"
+    )
+
     _, interior, _, strides, shifts = grid_ops.halo_maps(system)
     offsets = grid_ops._OFFSETS
-
-    # contact radius must fit in one stencil reach
-    reach = system.neighbor.cell_size
-    assert radius <= reach, (
-        f"contact radius {radius} exceeds cell reach {reach}; "
-        "increase skin or use a wider-stencil build"
-    )
 
     @jax.jit
     def accumulate(state: State, cmap: jax.Array) -> jax.Array:
