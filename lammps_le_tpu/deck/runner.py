@@ -609,12 +609,24 @@ class DeckRunner:
 
                 save_checkpoint(os.path.join(self.root, self.restart_path), st)
 
+        from ..fast import fast_supported, run_fast
         from ..io.dump import run_with_dumps
 
         t0 = time.perf_counter()
         if self.dumps:
             self.state, rows = run_with_dumps(
                 self.sim, self.state, nsteps, self.dumps, groups=groups,
+                thermo_every=self.thermo_every, thermo_callback=emit,
+            )
+        elif not groups and fast_supported(self.sim) and \
+                os.environ.get("LLE_FAST", "1") != "0" and \
+                (jax.default_backend() == "tpu" or self.system.n >= 20000):
+            # grid-resident production engine (physics-equivalent,
+            # tests/test_fastpath.py; ~5x the general path on TPU).
+            # Only worth it where per-element gather/scatter economy
+            # matters — small CPU decks run faster on the general path.
+            self.state, rows = run_fast(
+                self.sim, self.state, nsteps,
                 thermo_every=self.thermo_every, thermo_callback=emit,
             )
         else:

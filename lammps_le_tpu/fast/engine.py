@@ -933,7 +933,9 @@ def make_fast_segment(sim, thermo_every: int = 0):
                 jnp.asarray(lf.t_stop, dtype) - jnp.asarray(lf.t_start, dtype)
             )
             gamma1 = -mass / lf.damp / units.ftm2v
-            gamma2 = (
+            # python float, not np.float64: a strong numpy scalar would
+            # promote the f32 planes to f64 under jax_enable_x64
+            gamma2 = float(
                 np.sqrt(mass)
                 * np.sqrt(24.0 * units.boltz / (lf.damp * dt) / units.mvv2e)
                 / units.ftm2v

@@ -1,25 +1,26 @@
 """Pallas TPU kernel for the fused LJ + FENE + exclusion stencil pass.
 
 The XLA version of the fast engine's kernel (engine.make_kernel) is
-HBM-bound: every one of the 27 offsets re-streams (cap, P) planes and
-materializes (cap, cap, P) intermediates, ~0.3-0.4 T op/s effective.  This
-kernel holds a lane-aligned window of the coordinate/bead-id planes in
-VMEM per tile and runs the whole 27-offset x cap^2 cross product from
-on-chip memory, so HBM traffic collapses to one read of the planes plus
-one write of the forces (~100x less).
+HBM-bound: every one of the 27 offsets materializes (cap, cap, P)
+intermediates through HBM (measured 1.9 ms at 32k, ~5.5 ms at 100k).
+Here the cap x cap cross product and all accumulators stay in
+VMEM/registers; only the 27 pre-shifted j-plane slabs stream in once.
+
+Mosaic cannot access memrefs at dynamic lane offsets unless provably
+128-aligned — in ANY memory space (vector loads and DMA slices both
+refuse; discovered empirically).  The stencil deltas are arbitrary, so
+the shifts are applied OUTSIDE the kernel by XLA (27 cheap static-slice
+concats per plane) and the kernel reads the pre-shifted slabs through a
+regular BlockSpec, indexing only the LEADING (offset) dimension inside a
+``fori_loop`` — leading-dim dynamic indexing is unconstrained.  A fully
+unrolled 27-offset body is also avoided (it made the remote Mosaic
+compile effectively hang).
 
 Identical physics to engine.make_kernel (full stencil, bonded recognition
 by bead-id difference, partner exclusion, LJ evaluation floor, FENE clamp
 counting, bond-reach accounting); equality is pinned by
 tests/test_pallas_kernel.py in interpreter mode.  Opt-in on TPU via
 LLE_FAST_PALLAS=1 until validated on hardware.
-
-Structure notes: the offset loop is a ``fori_loop`` whose per-iteration
-delta comes from an SMEM table and whose window reads use dynamic lane
-slices — a fully unrolled 27-offset body made the (remote) Mosaic compile
-effectively hang.  The cap x cap cross product is flattened to
-(cap*cap, T) blocks built with broadcast+reshape so reductions stay on the
-sublane axis.
 """
 
 from __future__ import annotations
@@ -39,10 +40,20 @@ from ..state import FLAG_BOND_REACH, FLAG_FENE_CLAMP
 from ..system import System
 
 _LANE = 128
+_SELF = _OFFSETS.index((0, 0, 0))
 
 
 def _round_up(v, m):
     return -(-v // m) * m
+
+
+def _shift_minor(a, delta, fill):
+    if delta == 0:
+        return a
+    pad = jnp.full(a.shape[:-1] + (abs(delta),), fill, a.dtype)
+    if delta > 0:
+        return jnp.concatenate([a[..., delta:], pad], axis=-1)
+    return jnp.concatenate([pad, a[..., :delta]], axis=-1)
 
 
 def make_pallas_kernel(system: System, maps, ex_btype: int,
@@ -68,43 +79,19 @@ def make_pallas_kernel(system: System, maps, ex_btype: int,
     wca_cutsq = 2.0 ** (1.0 / 3.0) * sigf * sigf
     wca_floorsq = 0.5625 * sigf * sigf
     bond_reach_sq = (2.0 * system.neighbor.cell_size) ** 2
-    deltas = np.asarray(
-        [a * sx + b * sy + c * sz for (a, b, c) in _OFFSETS], np.int32
-    )
-    H = _round_up(int(np.max(np.abs(deltas))), _LANE)
+    deltas = [a * sx + b * sy + c * sz for (a, b, c) in _OFFSETS]
     T = tile
     PT = _round_up(P, T)
     nt = PT // T
-    W = T + 2 * H
     FAR = -1.0e4
     C2 = cap * cap
+    NOFF = len(_OFFSETS)
 
     interior = np.zeros(PT, np.float32)
     interior[:P] = maps.interior.astype(np.float32)
     interior_row = jnp.asarray(interior)[None, :]  # (1, PT)
-    deltas_row = jnp.asarray(deltas)[None, :]      # (1, 27) SMEM
 
-    def kernel_body(energy, deltas_ref, x_hbm, y_hbm, z_hbm, bid_hbm,
-                    hn_hbm, pid_ref, int_ref, out_f, out_s,
-                    win, iwin, sem):
-        t = pl.program_id(0)
-        start = pl.multiple_of(t * T, _LANE)
-        copies = []
-        for k, src in enumerate((x_hbm, y_hbm, z_hbm)):
-            cp = pltpu.make_async_copy(
-                src.at[:, pl.ds(start, W)], win.at[k], sem.at[k]
-            )
-            cp.start()
-            copies.append(cp)
-        for k, src in enumerate((bid_hbm, hn_hbm)):
-            cp = pltpu.make_async_copy(
-                src.at[:, pl.ds(start, W)], iwin.at[k], sem.at[3 + k]
-            )
-            cp.start()
-            copies.append(cp)
-        for cp in copies:
-            cp.wait()
-
+    def kernel_body(energy, xs_ref, is_ref, pid_ref, int_ref, out_f, out_s):
         def rep_i(a):
             return jnp.broadcast_to(
                 a[:, None, :], (cap, cap, T)
@@ -115,25 +102,24 @@ def make_pallas_kernel(system: System, maps, ex_btype: int,
                 a[None, :, :], (cap, cap, T)
             ).reshape(C2, T)
 
-        xi = rep_i(win[0, :, H:H + T])
-        yi = rep_i(win[1, :, H:H + T])
-        zi = rep_i(win[2, :, H:H + T])
-        bi = rep_i(iwin[0, :, H:H + T])
-        hi = rep_i(iwin[1, :, H:H + T])
+        xi = rep_i(xs_ref[_SELF, 0])
+        yi = rep_i(xs_ref[_SELF, 1])
+        zi = rep_i(xs_ref[_SELF, 2])
+        bi = rep_i(is_ref[_SELF, 0])
+        hi = rep_i(is_ref[_SELF, 1])
         pi = rep_i(pid_ref[...])
         int_i = jnp.broadcast_to(int_ref[...], (C2, T))
 
         zero = jnp.zeros((C2, T), jnp.float32)
         carry0 = (zero, zero, zero, zero, zero, zero, zero)
 
-        def offset_body(i, carry):
+        def offset_body(o, carry):
             fx, fy, fz, eacc, ebacc, nbacc, clacc = carry
-            lo = H + deltas_ref[0, i]
-            xj = rep_j(win[0, :, pl.ds(lo, T)])
-            yj = rep_j(win[1, :, pl.ds(lo, T)])
-            zj = rep_j(win[2, :, pl.ds(lo, T)])
-            bj = rep_j(iwin[0, :, pl.ds(lo, T)])
-            hj = rep_j(iwin[1, :, pl.ds(lo, T)])
+            xj = rep_j(xs_ref[o, 0])
+            yj = rep_j(xs_ref[o, 1])
+            zj = rep_j(xs_ref[o, 2])
+            bj = rep_j(is_ref[o, 0])
+            hj = rep_j(is_ref[o, 1])
 
             dx = xi - xj
             dy = yi - yj
@@ -189,7 +175,7 @@ def make_pallas_kernel(system: System, maps, ex_btype: int,
             return (fx, fy, fz, eacc, ebacc, nbacc, clacc)
 
         fx, fy, fz, eacc, ebacc, nbacc, clacc = jax.lax.fori_loop(
-            0, len(_OFFSETS), offset_body, carry0
+            0, NOFF, offset_body, carry0
         )
 
         def fold(a):
@@ -198,13 +184,14 @@ def make_pallas_kernel(system: System, maps, ex_btype: int,
         out_f[0] = fold(fx)
         out_f[1] = fold(fy)
         out_f[2] = fold(fz)
-        row = jnp.concatenate([
+        stats = jnp.concatenate([
             jnp.full((1, _LANE), jnp.sum(eacc), jnp.float32),
             jnp.full((1, _LANE), jnp.sum(ebacc), jnp.float32),
             jnp.full((1, _LANE), jnp.sum(nbacc), jnp.float32),
             jnp.full((1, _LANE), jnp.sum(clacc), jnp.float32),
-        ], axis=1)
-        out_s[...] = row
+            jnp.zeros((4, _LANE), jnp.float32),
+        ], axis=0)
+        out_s[0] = stats
 
     def build(energy):
         body = functools.partial(kernel_body, energy)
@@ -212,13 +199,10 @@ def make_pallas_kernel(system: System, maps, ex_btype: int,
             body,
             grid=(nt,),
             in_specs=[
-                pl.BlockSpec((1, len(_OFFSETS)), lambda t: (0, 0),
-                             memory_space=pltpu.SMEM),  # deltas
-                pl.BlockSpec(memory_space=pl.ANY),      # x padded (cap, Wp)
-                pl.BlockSpec(memory_space=pl.ANY),      # y
-                pl.BlockSpec(memory_space=pl.ANY),      # z
-                pl.BlockSpec(memory_space=pl.ANY),      # bid
-                pl.BlockSpec(memory_space=pl.ANY),      # hn
+                pl.BlockSpec((NOFF, 3, cap, T), lambda t: (0, 0, 0, t),
+                             memory_space=pltpu.VMEM),  # shifted coords
+                pl.BlockSpec((NOFF, 2, cap, T), lambda t: (0, 0, 0, t),
+                             memory_space=pltpu.VMEM),  # shifted bid/hn
                 pl.BlockSpec((cap, T), lambda t: (0, t),
                              memory_space=pltpu.VMEM),  # pid
                 pl.BlockSpec((1, T), lambda t: (0, t),
@@ -227,17 +211,12 @@ def make_pallas_kernel(system: System, maps, ex_btype: int,
             out_specs=[
                 pl.BlockSpec((3, cap, T), lambda t: (0, 0, t),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 4 * _LANE), lambda t: (t, 0),
+                pl.BlockSpec((1, 8, _LANE), lambda t: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((3, cap, PT), jnp.float32),
-                jax.ShapeDtypeStruct((nt, 4 * _LANE), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((3, cap, W), jnp.float32),
-                pltpu.VMEM((2, cap, W), jnp.int32),
-                pltpu.SemaphoreType.DMA((5,)),
+                jax.ShapeDtypeStruct((nt, 8, _LANE), jnp.float32),
             ],
             interpret=interpret,
         )
@@ -245,18 +224,27 @@ def make_pallas_kernel(system: System, maps, ex_btype: int,
     calls = {True: build(True), False: build(False)}
 
     def kernel(gx, bid, hn, pid, energy: bool):
-        padw = ((0, 0), (H, H + PT - P))
-        x_p = jnp.pad(gx[0], padw, constant_values=FAR)
-        y_p = jnp.pad(gx[1], padw, constant_values=FAR)
-        z_p = jnp.pad(gx[2], padw, constant_values=FAR)
-        bid_p = jnp.pad(bid, padw, constant_values=n)
-        hn_p = jnp.pad(hn.astype(jnp.int32), padw)
+        padt = ((0, 0), (0, 0), (0, PT - P))
+        xyz = jnp.pad(gx, padt, constant_values=FAR)
+        bh = jnp.stack([
+            jnp.pad(bid, ((0, 0), (0, PT - P)), constant_values=n),
+            jnp.pad(hn.astype(jnp.int32), ((0, 0), (0, PT - P))),
+        ])
+        # 27 pre-shifted copies per plane (static-slice concats; XLA fuses
+        # these into simple copies — this is the one streaming pass)
+        xs = jnp.stack([
+            _shift_minor(xyz, d, FAR) for d in deltas
+        ])                                   # (27, 3, cap, PT)
+        is_ = jnp.stack([
+            jnp.stack([
+                _shift_minor(bh[0], d, n),
+                _shift_minor(bh[1], d, 0),
+            ]) for d in deltas
+        ])                                   # (27, 2, cap, PT)
         pid_p = jnp.pad(pid, ((0, 0), (0, PT - P)), constant_values=-1)
-        gf_pt, stats = calls[bool(energy)](
-            deltas_row, x_p, y_p, z_p, bid_p, hn_p, pid_p, interior_row
-        )
+        gf_pt, stats = calls[bool(energy)](xs, is_, pid_p, interior_row)
         gf = gf_pt[:, :, :P]
-        tot = jnp.sum(stats.reshape(nt, 4, _LANE)[:, :, 0], axis=0)
+        tot = jnp.sum(stats[:, :4, 0], axis=0)
         e_lj = 0.5 * tot[0]
         e_b = 0.5 * tot[1]
         nb_found = tot[2]

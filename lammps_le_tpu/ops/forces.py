@@ -127,22 +127,11 @@ def compute_forces(
             from .grid import CellGrid, grid_pair_force
 
             if isinstance(nbr, CellGrid):
-                import os
-
-                from .pallas_pair import pallas_available, pallas_grid_pair_force
-
-                # the XLA half-stencil path currently beats the full-stencil
-                # pallas kernel; keep pallas opt-in until it learns Newton
-                use_pallas = (
-                    os.environ.get("LLE_TPU_PALLAS", "0") == "1"
-                    and pallas_available(system)
-                    and jax.default_backend() == "tpu"
-                )
-                if use_pallas:
-                    fp, epair = pallas_grid_pair_force(x, types, nbr, system)
-                else:
-                    fp, epair = grid_pair_force(x, types, nbr, system,
-                                                energy=energy)
+                # (the Pallas variant of the fused stencil kernel lives in
+                # fast/pallas_kernel.py; the round-1 ops/pallas_pair.py was
+                # slower than XLA and has been removed)
+                fp, epair = grid_pair_force(x, types, nbr, system,
+                                            energy=energy)
                 fc, ec = special_pair_correction(
                     x, types, system, ex_left, ex_right
                 )
