@@ -84,3 +84,37 @@ def test_contact_map_counts_neighbors():
             if d @ d < radius * radius:
                 ref[bead_bin[i], bead_bin[j]] += 1
     np.testing.assert_allclose(cmap, ref, atol=1e-6)
+
+
+def test_rdf_matches_bruteforce():
+    """g(r) from the grid path vs a direct numpy double loop
+    (reference: src/compute_rdf.cpp normalization convention)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from helpers import min_image_np, random_chain_system
+    from lammps_le_tpu.observe import make_rdf_fn, normalize_rdf
+    from lammps_le_tpu.state import init_state
+
+    system, x = random_chain_system(n_chains=4, chain_len=30, box_l=8.0,
+                                    seed=4)
+    state = init_state(system, x, seed=1)
+    nbins, rmax = 20, 1.4
+    fn = make_rdf_fn(system, nbins=nbins, rmax=rmax)
+    hist = np.asarray(fn(state, jnp.zeros((nbins,), jnp.float32)))
+
+    # numpy reference histogram
+    ref = np.zeros(nbins)
+    box = np.asarray(system.box_size)
+    n = system.n
+    for i in range(n):
+        d = min_image_np(x[i] - x, box)
+        r = np.sqrt((d * d).sum(-1))
+        r[i] = 1e9
+        sel = r < rmax
+        idx = np.clip((r[sel] * nbins / rmax).astype(int), 0, nbins - 1)
+        np.add.at(ref, idx, 1.0)
+    np.testing.assert_allclose(hist, ref, atol=0)
+
+    r, g = normalize_rdf(hist, system, nframes=1, nbins=nbins, rmax=rmax)
+    assert g.shape == (nbins,) and np.all(np.isfinite(g))
