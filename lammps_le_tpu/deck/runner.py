@@ -228,6 +228,13 @@ class DeckRunner:
         """compute ID group style — gyration and msd diagnostics
         (reference: src/compute_gyration.cpp, src/compute_msd.cpp)."""
         cid, group, style = args[0], args[1], args[2]
+        if style == "property/local":
+            # bond-list accessor consumed by `dump local`
+            # (src/compute_property_local.cpp); the dump writer reads the
+            # topology directly, so this just registers the id
+            self.computes = getattr(self, "computes", {})
+            self.computes[cid] = {"style": style, "group": group}
+            return
         if style not in ("gyration", "msd"):
             raise DeckError(f"unsupported compute style {style}")
         if not hasattr(self, "computes"):
@@ -278,7 +285,8 @@ class DeckRunner:
         fields = args[5:]
         self.dumps.append(
             DumpSpec(id=did, style=style, every=every,
-                     path=os.path.join(self.root, path), fields=fields)
+                     path=os.path.join(self.root, path), fields=fields,
+                     ex_btype=max(self._ex_btype(), 1))
         )
 
     def cmd_undump(self, args):

@@ -18,10 +18,11 @@ import jax
 @dataclasses.dataclass
 class DumpSpec:
     id: str
-    style: str           # 'xyz' | 'atom' | 'custom'
+    style: str           # 'xyz' | 'atom' | 'custom' | 'local'
     every: int
     path: str
     fields: List[str]
+    ex_btype: int = 2    # 1-based extruder bond type for 'local' frames
     _fh: object = None
 
     def open(self):
@@ -40,6 +41,33 @@ def write_frame(spec: DumpSpec, state, system):
     n = system.n
     x = np.asarray(state.x)
     step = int(state.step)
+    if spec.style == "local":
+        # bond list frames (reference: compute property/local btype batom1
+        # batom2 + dump local, src/compute_property_local.cpp +
+        # src/dump_local.cpp) — backbone bonds from the implicit chain,
+        # extruder bonds from the live table; 1-based ids/types
+        nxt = np.asarray(system.next_bead)
+        bt = np.asarray(system.backbone_type)
+        rows = []
+        src = np.nonzero(nxt >= 0)[0]
+        for i in src:
+            rows.append((int(bt[i]) + 1, i + 1, int(nxt[i]) + 1))
+        exl = np.asarray(state.ex_left)
+        exr = np.asarray(state.ex_right)
+        for l, r in zip(exl, exr):
+            if l >= 0:
+                rows.append((spec.ex_btype, int(l) + 1, int(r) + 1))
+        fh.write("ITEM: TIMESTEP\n%d\n" % step)
+        fh.write("ITEM: NUMBER OF ENTRIES\n%d\n" % len(rows))
+        fh.write("ITEM: BOX BOUNDS pp pp pp\n")
+        for lo, hi in zip(system.box_lo, system.box_hi):
+            fh.write(f"{lo:.6g} {hi:.6g}\n")
+        fh.write("ITEM: ENTRIES " + " ".join(spec.fields or
+                 ["c_bl[1]", "c_bl[2]", "c_bl[3]"]) + "\n")
+        for t, i, j in rows:
+            fh.write(f"{t} {i} {j}\n")
+        fh.flush()
+        return
     if spec.style == "xyz":
         fh.write(f"{n}\nAtoms. Timestep: {step}\n")
         types = np.asarray(state.type) + 1

@@ -121,3 +121,37 @@ run 10
     r = DeckRunner(dtype="float32", quiet=True)
     with pytest.raises(DeckError):
         r.run_file(path)
+
+
+def test_dump_local_bond_frames(tmp_path):
+    """`compute property/local` + `dump local` write reference-format bond
+    frames (src/dump_local.cpp) with live extruder bonds included."""
+    td = str(tmp_path)
+    path = _prep(td, """
+fix loop all extrusion 10 1 2 3 0.5 2 4
+fix loading all ex_load 10 1 1 1.12 2 prob 0.5 684474 iparam 1 1 jparam 1 1
+compute bl all property/local btype batom1 batom2
+dump bonds all local 10 bonds.dump c_bl[1] c_bl[2] c_bl[3]
+run 30
+""")
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(path)
+
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks"))
+    from validate_vs_reference import parse_bond_dump
+
+    frames = parse_bond_dump(os.path.join(td, "bonds.dump"), btype=2)
+    assert frames, "no frames written"
+    # final frame's extruder bonds match the live table (1-based)
+    last = frames[max(frames)]
+    exl = np.asarray(r.state.ex_left)
+    act = exl >= 0
+    expect = {(int(l) + 1, int(rr) + 1)
+              for l, rr in zip(exl[act], np.asarray(r.state.ex_right)[act])}
+    assert set(last) == expect
+    # backbone bonds present with type 1
+    backbone = parse_bond_dump(os.path.join(td, "bonds.dump"), btype=1)
+    assert len(backbone[max(backbone)]) == int((np.asarray(
+        r.system.next_bead) >= 0).sum())
