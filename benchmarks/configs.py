@@ -262,11 +262,91 @@ def config5(quick=False):
     )
 
 
+def config6(quick=False):
+    """Scale-out headroom: 1M-bead chromosome on ONE chip (SURVEY §7 stage
+    7; the reference needs multi-rank comm_brick past ~1 node,
+    src/comm_brick.cpp:150).  Reports memory/occupancy headroom alongside
+    throughput; the Pallas whole-step core auto-falls-back to the XLA chain
+    at this size (planes exceed VMEM — engine._pallas_step_mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lammps_le_tpu.fast import run_fast
+    from lammps_le_tpu.fixes import NVE, Extrusion, ExLoad, ExUnload, Langevin
+    from lammps_le_tpu.integrate import Simulation
+    from lammps_le_tpu.state import init_state
+
+    n_beads = 1_000_000
+    steps = 100 if quick else 600
+    system, data = _chain_system(
+        1, n_beads, rebuild_every=4, skin=0.30,
+        max_extruders=8192, cell_cap=8,
+    )
+    nb = system.neighbor
+    log(f"grid {nb.nx}x{nb.ny}x{nb.nz} cell {nb.cell_size:.3f} "
+        f"cap {nb.cell_cap}")
+    warm = Simulation(system=system, dt=0.006,
+                      fixes=(NVE(), Langevin(t_start=1.0, t_stop=1.0,
+                                             damp=1.0, seed=7)), ex_btype=2)
+    state = init_state(system, data.x, types=data.types, seed=19)
+    state, _ = run_fast(warm, state, 100 if quick else 400)
+    state = state.replace(flags=jnp.zeros((), jnp.uint32))
+
+    n_ex0 = 5000
+    e = state.ex_left.shape[0]
+    sites = np.arange(n_ex0) * (n_beads // n_ex0) + 1
+    left = np.full(e, -1, np.int32)
+    right = np.full(e, -1, np.int32)
+    left[:n_ex0] = sites
+    right[:n_ex0] = sites + 2
+    state = state.replace(ex_left=jnp.asarray(left),
+                          ex_right=jnp.asarray(right))
+    sim = Simulation(
+        system=system, dt=0.006, energy_every=100,
+        fixes=(NVE(), Langevin(t_start=1.0, t_stop=1.0, damp=10.0,
+                               seed=904297),
+               Extrusion(nevery=1000, neutral_type=1, ctcf_left=2,
+                         ctcf_right=3, through_prob=0.5, btype=2,
+                         ctcf_left_right=4, release_r=3.0),
+               ExLoad(nevery=700, iatomtype=1, jatomtype=1, cutoff=1.12,
+                      btype=2, fraction=0.001, seed=684474, imaxbond=1,
+                      inewtype=1, jmaxbond=1, jnewtype=1),
+               ExUnload(nevery=700, btype=2, cutoff=0.5, fraction=0.001,
+                        seed=456456)),
+        ex_btype=2,
+    )
+    settle = Simulation(system=system, dt=0.002, fixes=sim.fixes, ex_btype=2)
+    state, _ = run_fast(settle, state, 50 if quick else 200)
+    state = state.replace(flags=jnp.zeros((), jnp.uint32))
+    state, _ = run_fast(sim, state, 20)  # compile + warm
+    t0 = time.perf_counter()
+    state, _ = run_fast(sim, state, steps)
+    jax.device_get(state.step)
+    wall = time.perf_counter() - t0
+    # headroom: live device bytes vs chip HBM
+    mem = {}
+    try:
+        d = jax.devices()[0]
+        ms = d.memory_stats()
+        mem = {"hbm_bytes_in_use": int(ms.get("bytes_in_use", 0)),
+               "hbm_bytes_limit": int(ms.get("bytes_limit", 0))}
+    except Exception:
+        pass
+    extra = {
+        "extruders": int(jnp.sum(state.ex_left >= 0)),
+        "moves": int(state.n_moves),
+        "flags": int(state.flags),
+        "clamps": int(state.n_clamps) if hasattr(state, "n_clamps") else 0,
+        **mem,
+    }
+    return _result("6_scaleout_1M", n_beads, steps, wall, extra)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     quick = "--quick" in sys.argv
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
-               "5": config5}
+               "5": config5, "6": config6}
     if which == "all":
         for k in sorted(configs):
             configs[k](quick)

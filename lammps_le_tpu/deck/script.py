@@ -41,6 +41,58 @@ class ScriptError(RuntimeError):
     pass
 
 
+# thermo keywords equal-style variables may reference live
+# (reference: src/variable.cpp evaluate() dispatches these to Thermo)
+_LIVE_KEYS = ("temp", "press", "pe", "ke", "epair", "ebond", "emol",
+              "etotal", "step", "vol", "density", "extruders", "atoms")
+_LIVE_RE = re.compile(
+    r"\b(" + "|".join(_LIVE_KEYS) + r")\b|\bc_\w+|\bf_\w+\[[12]\]"
+)
+
+
+class LiveExpr:
+    """An equal-style variable that references live thermo/compute state.
+
+    Evaluated at USE time against the runner (reference:
+    src/variable.cpp:5223 — equal variables are re-evaluated on every
+    access, which is how staged decks gate on ``temp``/``press``/counters).
+    ``__str__`` triggers evaluation so plain ``$x`` substitution works.
+    """
+
+    def __init__(self, expr: str, interp: "ScriptInterpreter"):
+        self.expr = expr
+        self.interp = interp
+
+    def eval(self):
+        text = self.expr
+        # v_name references first (may recurse through other LiveExprs)
+        text = re.sub(
+            r"v_(\w+)", lambda m: str(self.interp.vars[m.group(1)]), text
+        )
+        text = _LIVE_RE.sub(
+            lambda m: repr(self.interp.runner.live_value(m.group(0))), text
+        )
+        val = _eval_expr(text, self.interp.vars)
+        if isinstance(val, str):
+            # _eval_expr keeps bare literals as text; a live expression
+            # must still come out numeric
+            try:
+                val = float(val)
+            except ValueError:
+                raise ScriptError(
+                    f"cannot evaluate live variable expression "
+                    f"{self.expr!r}") from None
+            if val.is_integer():
+                val = int(val)
+        return val
+
+    def __str__(self):
+        v = self.eval()
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
+        return str(v)
+
+
 def logical_lines(text: str) -> List[str]:
     """Join '&' continuations (input.cpp:231)."""
     lines: List[str] = []
@@ -107,7 +159,12 @@ class ScriptInterpreter:
             # is a no-op so loops re-entered via jump keep their position
             return
         if style == "equal":
-            self.vars[name] = _eval_expr(" ".join(args[2:]), self.vars)
+            expr = " ".join(args[2:])
+            if _LIVE_RE.search(expr):
+                # live references: defer evaluation to each use
+                self.vars[name] = LiveExpr(expr, self)
+            else:
+                self.vars[name] = _eval_expr(expr, self.vars)
         elif style == "string":
             self.vars[name] = args[2]
         elif style == "index":
@@ -147,7 +204,7 @@ class ScriptInterpreter:
                 return i
         raise ScriptError(f"label {label!r} not found")
 
-    def _if(self, args: List[str]):
+    def _if(self, args: List[str], lines=None, path: str = "SELF"):
         if "then" not in args:
             raise ScriptError("if without then")
         ti = args.index("then")
@@ -160,7 +217,38 @@ class ScriptInterpreter:
             then_cmds, else_cmds = rest, []
         chosen = then_cmds if eval_condition(cond, self.vars) else else_cmds
         for cmd in chosen:
-            self.one(cmd)
+            # a jump inside then/else transfers control (input.cpp if_
+            # dispatches through the same command loop); remaining branch
+            # commands are abandoned like the reference's
+            jump = self.one(cmd, lines=lines, path=path)
+            if jump is not None:
+                return jump
+        return None
+
+    def _expand_inline_eval(self, line: str) -> str:
+        """``$(expr)`` immediate equal-style evaluation (input.cpp:508
+        `$(...)` branch): evaluated against live thermo state at execution
+        time, e.g. ``if "$(temp) > 1.1" then ...``."""
+        out = []
+        i = 0
+        while i < len(line):
+            if line[i] == "$" and i + 1 < len(line) and line[i + 1] == "(":
+                depth = 1
+                j = i + 2
+                while j < len(line) and depth:
+                    if line[j] == "(":
+                        depth += 1
+                    elif line[j] == ")":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise ScriptError(f"unbalanced $() in {line!r}")
+                out.append(str(LiveExpr(line[i + 2:j - 1], self)))
+                i = j
+            else:
+                out.append(line[i])
+                i += 1
+        return "".join(out)
 
     # -- execution ------------------------------------------------------
     def run_file(self, path: str):
@@ -169,17 +257,21 @@ class ScriptInterpreter:
         with open(path) as fh:
             self.execute_lines(logical_lines(fh.read()), path)
 
-    def execute_lines(self, lines: List[str], path: str = "SELF"):
-        pc = 0
+    def execute_lines(self, lines: List[str], path: str = "SELF",
+                      pc0: int = 0):
+        pc = pc0
         while pc < len(lines):
             line = lines[pc]
             pc += 1
             jump = self.one(line, lines=lines, path=path)
             if jump is not None:
-                new_lines, new_pc = jump
+                new_lines, new_pc, new_path = jump
                 if new_lines is not lines:
-                    # jump into another file: execute it to completion
-                    self.execute_lines(new_lines[new_pc:], path)
+                    # jump into another file: recurse with the FULL line
+                    # list and the target's own path, so labels before the
+                    # jump target stay findable and a later `jump <that
+                    # file>` is recognized as SELF (ADVICE r2)
+                    self.execute_lines(new_lines, new_path, pc0=new_pc)
                     return
                 pc = new_pc
         if self._skip_next_jump:
@@ -187,13 +279,14 @@ class ScriptInterpreter:
             self._skip_next_jump = False
 
     def one(self, line: str, lines=None, path: str = "SELF"):
-        """Execute one logical line; returns (lines, pc) on jump."""
+        """Execute one logical line; returns (lines, pc, path) on jump."""
         h = line.find("#")
         if h >= 0:
             line = line[:h]
         line = line.strip()
         if not line:
             return None
+        line = self._expand_inline_eval(line)
         line = substitute(line, self.vars)
         parts = shlex.split(line)
         if not parts:
@@ -212,8 +305,7 @@ class ScriptInterpreter:
             self._next(args)
             return None
         if name == "if":
-            self._if(args)
-            return None
+            return self._if(args, lines=lines, path=path)
         if name == "include":
             sub = os.path.join(self.runner.root, args[0])
             with open(sub) as fh:
@@ -227,14 +319,15 @@ class ScriptInterpreter:
             if target == "SELF" or (
                 path != "SELF" and os.path.basename(path) == target
             ):
-                tlines = lines
+                tlines, tpath = lines, path
                 if tlines is None:
                     raise ScriptError("jump SELF outside a script")
             else:
-                with open(os.path.join(self.runner.root, target)) as fh:
+                tpath = os.path.join(self.runner.root, target)
+                with open(tpath) as fh:
                     tlines = logical_lines(fh.read())
             idx = self._find_label(tlines, label) if label else 0
-            return (tlines, idx)
+            return (tlines, idx, tpath)
         if name == "run" and len(args) >= 2 and args[1] == "upto":
             cur = self.runner.timestep0
             if self.runner.state is not None:

@@ -1,0 +1,423 @@
+"""The fused whole-step Pallas kernel: ONE device launch per MD step.
+
+Round-3 measurements (PERF_NOTES.md) show this chip-through-tunnel pays a
+0.3-1 ms floor per fori-loop iteration *regardless of the work inside*,
+while in-kernel vector work runs at ~1 T elem-op/s and ``pltpu.roll`` along
+lanes is free (<5 us even for 100 rolls).  The XLA fast path spends ~9 ms
+per 100k-bead step across ~6 fused regions; this kernel collapses a full
+velocity-Verlet step into ONE ``pallas_call``:
+
+    half-kick + drift  (flagged off on boundary steps where the XLA driver
+                        already integrated/rebuilt — fix_nve.cpp:64-103)
+    halo refresh       (6 face copies as lane-rolls + masked blends — the
+                        in-VMEM analog of Comm::forward_comm,
+                        src/comm_brick.cpp:452)
+    fused LJ+FENE+exclusion stencil over all 27 offsets
+                       (pair_lj_cut.cpp:68-141, bond_fene.cpp:52-128,
+                        force.cpp:787) — a ``fori_loop`` over offsets with
+                        DYNAMIC pltpu.roll shifts, so Mosaic compiles one
+                        small body instead of 27 unrolled copies (the
+                        round-2 unrolled kernel hung the remote compiler)
+    extruder-spring force add (precomputed dense planes from the XLA side —
+                        springs stretch beyond the stencil reach so their
+                        gather cannot ride the dense pass)
+    Langevin           (fix_langevin.cpp:654-674) with the same
+                        counter-based threefry2x32 noise keyed by
+                        (key, step, bead id) as engine._uniform3 —
+                        trajectories are BITWISE independent of slot layout
+    final half-kick    (fix_nve.cpp:108-140)
+    skin monitor       (max displacement vs rebuild reference,
+                        src/neighbor.cpp:1948)
+
+Physics is identical to engine.make_kernel + the XLA integrate chain
+(tests/test_pallas_step.py pins both in interpreter mode).  Stencil shift
+semantics: a circular lane-roll equals engine._shift_minor for every
+interior i-column — wrapped j-data only ever pairs with halo/padding
+i-columns, which the interior mask kills (see engine.py halo invariants).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.grid import _OFFSETS
+from ..ops.pair import _lj_tables
+from ..system import System
+
+_TF_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
+
+
+def _threefry2x32(k0, k1, c0, c1):
+    """threefry2x32 (Salmon et al. 2011), 20 rounds — must stay bit-exact
+    with engine._threefry2x32 so XLA/Pallas trajectories interleave."""
+    ks2 = k0 ^ k1 ^ jnp.uint32(0x1BD11BDA)
+    ks = (k0, k1, ks2)
+    x0 = c0 + k0
+    x1 = c1 + k1
+    for i in range(5):
+        for j in range(4):
+            r = _TF_ROT[4 * (i % 2) + j]
+            x0 = x0 + x1
+            x1 = (x1 << r) | (x1 >> (32 - r))
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+    return x0, x1
+
+
+def make_halo_consts(system: System, maps):
+    """Static halo-face data: aux mask plane + roll shifts + coord shifts.
+
+    aux rows: 0/1 = x lo/hi face, 2/3 = y lo/hi, 4/5 = z lo/hi,
+    6 = interior, 7 = zero.  Faces are the PADDED grid's ghost layers;
+    face masks are applied sequentially x->y->z so edges/corners compose
+    exactly like the rebuild-time src_cols duplication map.
+    """
+    cfg = system.neighbor
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    px, py, pz = nx + 2, ny + 2, nz + 2
+    P = maps.P
+    p_raw = maps.p_raw
+    sx, sy, sz = maps.strides
+    ix, iy, iz = np.meshgrid(
+        np.arange(px), np.arange(py), np.arange(pz), indexing="ij"
+    )
+    def flat(m):
+        out = np.zeros(P, np.float32)
+        out[:p_raw] = m.reshape(-1).astype(np.float32)
+        return out
+
+    aux = np.zeros((8, P), np.float32)
+    aux[0] = flat(ix == 0)
+    aux[1] = flat(ix == px - 1)
+    aux[2] = flat(iy == 0)
+    aux[3] = flat(iy == py - 1)
+    aux[4] = flat(iz == 0)
+    aux[5] = flat(iz == pz - 1)
+    aux[6, :] = maps.interior.astype(np.float32)
+    # roll shift s such that roll(X, s)[c] = X[c - s]: lo face reads the
+    # +n*stride column, hi face the -n*stride column
+    shifts = [
+        ((-nx * sx) % P, (nx * sx) % P),
+        ((-ny * sy) % P, (ny * sy) % P),
+        ((-nz * sz) % P, (nz * sz) % P),
+    ]
+    box = np.asarray(system.box_size, np.float64)
+    return aux, shifts, box
+
+
+def make_step_kernel(system: System, maps, ex_btype: int, *,
+                     dt: float, langevin, energy: bool,
+                     interpret: bool = False):
+    """Build the fused step kernel.
+
+    Returns ``call(gx, gv, gf, exf, gxref, bid, hn, pid, sstep, do_drift,
+    key_words, t_target) -> (gx1, gv2, ftot, stats)`` where stats rows are
+    [e_lj, e_b, nb_found, n_clamp, n_links, skin_bad, 0, 0] broadcast over
+    lanes (read stats[k, 0]).
+
+    ``dt`` and the Langevin coefficients enter through an SMEM scalar
+    vector, NOT as baked constants: one Mosaic compile serves every
+    Simulation over the same system geometry (thermalize / settle /
+    production differ only in dt and damp, and a remote-tunnel compile
+    costs minutes).  Kernels are cached per (geometry, energy, langevin?).
+    """
+    dtype = jnp.dtype(system.dtype)
+    assert dtype == jnp.float32, "pallas step kernel is the f32 TPU path"
+    n = system.n
+    cap, P = maps.cap, maps.P
+    sx, sy, sz = maps.strides
+    lj1, lj2, lj3, lj4, cutsq, offe, floorsq = (
+        float(np.asarray(t)[0, 0]) for t in _lj_tables(system, jnp.float32)
+    )
+    bts = np.asarray(system.backbone_type)
+    used = bts[bts >= 0]
+    if used.size:
+        kf, r0f, epsf, sigf = (
+            float(c) for c in np.asarray(system.bonds.coeffs)[used[0]]
+        )
+    else:
+        kf = r0f = epsf = sigf = 0.0
+    r0sq = r0f * r0f if r0f else 1.0
+    wca_cutsq = 2.0 ** (1.0 / 3.0) * sigf * sigf
+    wca_floorsq = 0.5625 * sigf * sigf
+    bond_reach_sq = (2.0 * system.neighbor.cell_size) ** 2
+
+    units = system.units
+    mass = float(np.asarray(system.masses).flat[0])
+    dtf = 0.5 * dt * units.ftm2v
+    kick = dtf / mass
+    # half-skin bound from the real cell margin (engine.make_fast_segment)
+    min_edge = min(
+        b / d for b, d in zip(
+            system.box_size,
+            (system.neighbor.nx, system.neighbor.ny, system.neighbor.nz),
+        )
+    )
+    pp = system.pair
+    max_cut = float(np.max(np.asarray(pp.cutoff))) if pp is not None else 0.0
+    halfskin_sq = (0.5 * max(min_edge - max_cut, 1e-6)) ** 2
+
+    lan = langevin
+    if lan is not None:
+        gamma1_v = -mass / lan.damp / units.ftm2v
+        gamma2_base = float(
+            np.sqrt(mass)
+            * np.sqrt(24.0 * units.boltz / (lan.damp * dt) / units.mvv2e)
+            / units.ftm2v
+        )
+
+    deltas = np.array(
+        [(-(a * sx + b * sy + c * sz)) % P for (a, b, c) in _OFFSETS],
+        np.int32,
+    )
+    NOFF = len(_OFFSETS)
+    aux_np, halo_shifts, box = make_halo_consts(system, maps)
+    has_ex = ex_btype > 0
+
+    def kernel(d_ref, meta_ref, key_ref, sc_ref,
+               gx_ref_in, gv_ref, gf_ref, exf_ref, gxr_ref,
+               bid_ref, hn_ref, pid_ref, aux_ref,
+               ox_ref, ov_ref, of_ref, stats_ref):
+        drift_on = meta_ref[1]
+        # per-Simulation scalars (SMEM): geometry stays the compile key
+        sc_dt = sc_ref[0]
+        sc_kick = sc_ref[1]
+        sc_g1 = sc_ref[2]
+        sc_g2 = sc_ref[3]
+        interior = aux_ref[6:7, :]                      # (1, P)
+        bid = bid_ref[...]
+        hn = hn_ref[...]
+        pid = pid_ref[...]
+        valid = jnp.where(bid < n, interior, 0.0)       # (cap, P) f32
+        dflag = (drift_on > 0).astype(jnp.float32)
+
+        # ---- initial integrate: half kick + drift (flagged) ----
+        gv1 = []
+        gx1 = []
+        for k in range(3):
+            v1 = gv_ref[k] + (dflag * sc_kick) * gf_ref[k] * valid
+            gv1.append(v1)
+            gx1.append(gx_ref_in[k] + (dflag * sc_dt) * v1 * valid)
+
+        # ---- halo refresh: 6 masked face blends (forward_comm) ----
+        for axis in range(3):
+            s_lo, s_hi = halo_shifts[axis]
+            m_lo = aux_ref[2 * axis:2 * axis + 1, :]
+            m_hi = aux_ref[2 * axis + 1:2 * axis + 2, :]
+            keep = 1.0 - m_lo - m_hi
+            L = float(box[axis])
+            for k in range(3):
+                src_lo = pltpu.roll(gx1[k], s_lo, 1)
+                src_hi = pltpu.roll(gx1[k], s_hi, 1)
+                if k == axis:
+                    src_lo = src_lo - L
+                    src_hi = src_hi + L
+                gx1[k] = gx1[k] * keep + src_lo * m_lo + src_hi * m_hi
+
+        X, Y, Z = gx1
+
+        # ---- fused stencil: LJ + FENE + exclusions over 27 offsets ----
+        frows = [jnp.zeros((1, P), jnp.float32) for _ in range(3 * cap)]
+
+        def offset_body(o, carry):
+            rows = list(carry[:3 * cap])
+            eacc, ebacc, nbacc, clacc = carry[3 * cap:]
+            d = d_ref[o]
+            Xj = pltpu.roll(X, d, 1)
+            Yj = pltpu.roll(Y, d, 1)
+            Zj = pltpu.roll(Z, d, 1)
+            Bj = pltpu.roll(bid, d, 1)
+            Hj = pltpu.roll(hn, d, 1)
+            for i in range(cap):
+                xi = X[i:i + 1, :]
+                yi = Y[i:i + 1, :]
+                zi = Z[i:i + 1, :]
+                bi = bid[i:i + 1, :]
+                hi = hn[i:i + 1, :]
+                pi = pid[i:i + 1, :]
+                int_i = jnp.where(bi < n, interior, 0.0)
+
+                dx = xi - Xj
+                dy = yi - Yj
+                dz = zi - Zj
+                rsq = dx * dx + dy * dy + dz * dz
+                nz_pair = rsq > 0.0
+
+                bonded = ((Bj == bi + 1) & (hi > 0)) | \
+                         ((bi == Bj + 1) & (Hj > 0))
+                excl = bonded | (Bj == pi)
+
+                in_cut = rsq < cutsq
+                w_lj = jnp.where(in_cut & nz_pair & (~excl), int_i, 0.0)
+                rsq_lj = jnp.maximum(
+                    jnp.where(in_cut & nz_pair, rsq, 1.0), floorsq
+                )
+                r2 = 1.0 / rsq_lj
+                r6 = r2 * r2 * r2
+                ffac = r6 * (lj1 * r6 - lj2) * r2 * w_lj
+                if energy:
+                    eacc = eacc + jnp.sum(
+                        (r6 * (lj3 * r6 - lj4) - offe) * w_lj,
+                        axis=0, keepdims=True)
+                if kf != 0.0:
+                    in_reach = rsq < bond_reach_sq
+                    w_b = jnp.where(bonded & nz_pair & in_reach, int_i, 0.0)
+                    rsq_b = jnp.where(bonded & nz_pair, rsq, 1.0)
+                    rlog = 1.0 - rsq_b / r0sq
+                    cl = rlog < 0.1
+                    rlog = jnp.where(cl, 0.1, rlog)
+                    fb = -kf / rlog
+                    rsq_w = jnp.maximum(rsq_b, wca_floorsq)
+                    sr2 = sigf * sigf / rsq_w
+                    sr6 = sr2 * sr2 * sr2
+                    wca = rsq_b < wca_cutsq
+                    fb = fb + jnp.where(
+                        wca, 48.0 * epsf * sr6 * (sr6 - 0.5) / rsq_w, 0.0
+                    )
+                    ffac = ffac + fb * w_b
+                    nbacc = nbacc + jnp.sum(w_b, axis=0, keepdims=True)
+                    clacc = clacc + jnp.sum(
+                        jnp.where(cl, w_b, 0.0), axis=0, keepdims=True
+                    )
+                    if energy:
+                        ebacc = ebacc + jnp.sum(
+                            w_b * (-0.5 * kf * r0sq * jnp.log(rlog)
+                                   + jnp.where(
+                                       wca,
+                                       4.0 * epsf * sr6 * (sr6 - 1.0) + epsf,
+                                       0.0)),
+                            axis=0, keepdims=True)
+                rows[3 * i + 0] = rows[3 * i + 0] + jnp.sum(
+                    dx * ffac, axis=0, keepdims=True)
+                rows[3 * i + 1] = rows[3 * i + 1] + jnp.sum(
+                    dy * ffac, axis=0, keepdims=True)
+                rows[3 * i + 2] = rows[3 * i + 2] + jnp.sum(
+                    dz * ffac, axis=0, keepdims=True)
+            return tuple(rows) + (eacc, ebacc, nbacc, clacc)
+
+        zero1 = jnp.zeros((1, P), jnp.float32)
+        carry0 = tuple(frows) + (zero1, zero1, zero1, zero1)
+        out = jax.lax.fori_loop(0, NOFF, offset_body, carry0)
+        rows = out[:3 * cap]
+        eacc, ebacc, nbacc, clacc = out[3 * cap:]
+
+        FX = jnp.concatenate([rows[3 * i + 0] for i in range(cap)], axis=0)
+        FY = jnp.concatenate([rows[3 * i + 1] for i in range(cap)], axis=0)
+        FZ = jnp.concatenate([rows[3 * i + 2] for i in range(cap)], axis=0)
+        if has_ex:
+            FX = FX + exf_ref[0]
+            FY = FY + exf_ref[1]
+            FZ = FZ + exf_ref[2]
+        ftot = [FX, FY, FZ]
+
+        # ---- post force: Langevin (fix_langevin.cpp:654-674) ----
+        if lan is not None:
+            k0 = key_ref[0]
+            k1 = key_ref[1]
+            c0 = pltpu.bitcast(bid, jnp.uint32)
+            base = key_ref[2]  # step*4 as uint32, computed by the caller
+            scale = 1.0 / 16777216.0
+            for comp in range(3):
+                x0, _ = _threefry2x32(k0, k1, c0, base + jnp.uint32(comp))
+                u = (x0 >> 8).astype(jnp.int32).astype(jnp.float32) * scale
+                noise = u - 0.5
+                ftot[comp] = ftot[comp] + (
+                    sc_g1 * gv1[comp] + sc_g2 * noise) * valid
+
+        # ---- final integrate: half kick ----
+        gv2 = [gv1[k] + sc_kick * ftot[k] * valid for k in range(3)]
+
+        # ---- skin monitor: max displacement vs rebuild reference ----
+        dxr = X - gxr_ref[0]
+        dyr = Y - gxr_ref[1]
+        dzr = Z - gxr_ref[2]
+        dsq = (dxr * dxr + dyr * dyr + dzr * dzr) * valid
+        skin_bad = jnp.where(
+            jnp.max(dsq) > halfskin_sq, 1.0, 0.0)
+
+        n_links = jnp.sum(jnp.where(bid < n, interior, 0.0)
+                          * (hn > 0).astype(jnp.float32))
+
+        for k in range(3):
+            ox_ref[k] = gx1[k]
+            ov_ref[k] = gv2[k]
+            of_ref[k] = ftot[k]
+        stats = jnp.concatenate([
+            jnp.full((1, 128), jnp.sum(eacc), jnp.float32),
+            jnp.full((1, 128), jnp.sum(ebacc), jnp.float32),
+            jnp.full((1, 128), jnp.sum(nbacc), jnp.float32),
+            jnp.full((1, 128), jnp.sum(clacc), jnp.float32),
+            jnp.full((1, 128), n_links, jnp.float32),
+            jnp.full((1, 128), skin_bad, jnp.float32),
+            jnp.zeros((2, 128), jnp.float32),
+        ], axis=0)
+        stats_ref[...] = stats
+
+    # one Mosaic compile per (geometry, energy, langevin-presence) — NOT
+    # per Simulation: dt/damp enter via sc_ref at run time
+    cache_key = (
+        system.neighbor.nx, system.neighbor.ny, system.neighbor.nz,
+        cap, P, n, system.box_size,
+        round(kf, 12), round(r0f, 12), round(epsf, 12), round(sigf, 12),
+        round(lj1, 12), round(cutsq, 12),
+        energy, lan is not None, has_ex, interpret,
+    )
+    grid_call = _CALL_CACHE.get(cache_key)
+    if grid_call is None:
+        plane = jax.ShapeDtypeStruct((3, cap, P), jnp.float32)
+        grid_call = pl.pallas_call(
+            kernel,
+            out_shape=[plane, plane, plane,
+                       jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +
+                     [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024),
+            interpret=interpret,
+        )
+        _CALL_CACHE[cache_key] = grid_call
+    d_arr = jnp.asarray(deltas)
+    aux_arr = jnp.asarray(aux_np)
+
+    def call(gx, gv, gf, exf, gxref, bid, hn, pid,
+             sstep, do_drift, key_words, t_target):
+        """key_words: (2,) uint32 step-folded PRNG words (engine step key).
+
+        The threefry counter base (step*4, matching engine._uniform3) is
+        appended here so all scalar plumbing stays uint32 in SMEM.
+        """
+        meta = jnp.stack([sstep, do_drift.astype(jnp.int32),
+                          jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)])
+        keyw = jnp.stack([
+            key_words[0], key_words[1],
+            (sstep * 4).astype(jnp.uint32), jnp.zeros((), jnp.uint32),
+        ])
+        zf = jnp.zeros((), jnp.float32)
+        if lan is not None:
+            g1 = jnp.asarray(gamma1_v, jnp.float32)
+            g2 = gamma2_base * jnp.sqrt(t_target.astype(jnp.float32))
+        else:
+            g1 = g2 = zf
+        sc = jnp.stack([
+            jnp.asarray(dt, jnp.float32), jnp.asarray(kick, jnp.float32),
+            g1, g2, zf, zf, zf, zf,
+        ])
+        return grid_call(
+            d_arr, meta, keyw, sc,
+            gx, gv, gf, exf, gxref,
+            bid, hn.astype(jnp.int32), pid, aux_arr,
+        )
+
+    return call
+
+
+_CALL_CACHE: dict = {}

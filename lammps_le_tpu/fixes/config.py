@@ -62,6 +62,13 @@ class Extrusion:
     seed: int = 12345           # reference hard-codes 12345 (fix_extrusion.cpp:98)
     phase: int = 1
     group: Optional[str] = None
+    # Opt-in DOCUMENTED DEVIATION (off at 0.0): forcibly unload any
+    # extruder whose spring has stretched past ``release_r`` at event time.
+    # A stalled extruder the unload fix never reaches (stall-until-unload)
+    # winds its spring until FENE clamps — the reference simply hard-aborts
+    # when a bond hits r >= 2*r0 (src/MOLECULE/bond_fene.cpp:87-92); this
+    # knob bounds the failure mode instead (VALIDATION.md defect 2).
+    release_r: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -60,7 +60,8 @@ def _scatter_election(targets_list, rsq, n):
 
 
 def make_extrusion_update(system: System, fix: Extrusion):
-    """Returns update(x, types, ex_left, ex_right, occ, key) -> (left, right, stats)."""
+    """Returns update(x, types, ex_left, ex_right, occ, key)
+    -> (left, right, n_moves, n_released)."""
     n = system.n
     nxt = jnp.asarray(system.next_bead)
     prv = jnp.asarray(system.prev_bead)
@@ -70,11 +71,28 @@ def make_extrusion_update(system: System, fix: Extrusion):
     c_both = fix.ctcf_left_right - 1 if fix.ctcf_left_right > 0 else -999
     through = fix.through_prob
 
+    release_sq = fix.release_r * fix.release_r
+
     def update(x, types, ex_left, ex_right, occ, key):
         e = ex_left.shape[0]
         active = ex_left >= 0
         l = jnp.where(active, ex_left, 0)
         r = jnp.where(active, ex_right, 0)
+
+        # opt-in max-tension stall release (see Extrusion.release_r): an
+        # extruder whose spring is wound past release_r unloads instead of
+        # clamping FENE — checked before proposals so a released slot
+        # neither moves nor blocks this event's election
+        nreleased = jnp.zeros((), jnp.int32)
+        if release_sq > 0.0:
+            d0 = minimum_image(x[r] - x[l], system.box_size)
+            wound = active & (jnp.sum(d0 * d0, axis=-1) > release_sq)
+            nreleased = jnp.sum(wound).astype(jnp.int32)
+            ex_left = jnp.where(wound, -1, ex_left)
+            ex_right = jnp.where(wound, -1, ex_right)
+            active = active & ~wound
+            l = jnp.where(active, ex_left, 0)
+            r = jnp.where(active, ex_right, 0)
 
         # target beads one hop outward along the chain (-1 off chain end)
         lt = prv[l]
@@ -123,6 +141,6 @@ def make_extrusion_update(system: System, fix: Extrusion):
         new_left = jnp.where(win, nl, ex_left)
         new_right = jnp.where(win, nr, ex_right)
         nmoves = jnp.sum(win).astype(jnp.int32)
-        return new_left, new_right, nmoves
+        return new_left, new_right, nmoves, nreleased
 
     return update

@@ -248,9 +248,13 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
 
                 def do(st, update=update, key=key):
                     occ = extruder_partner(st, system.n) >= 0
-                    l, r, nm = update(st.x, st.type, st.ex_left, st.ex_right, occ, key)
+                    l, r, nm, nrel = update(
+                        st.x, st.type, st.ex_left, st.ex_right, occ, key
+                    )
                     return st.replace(
-                        ex_left=l, ex_right=r, n_moves=st.n_moves + nm
+                        ex_left=l, ex_right=r, n_moves=st.n_moves + nm,
+                        n_unloads=st.n_unloads + nrel,
+                        last_event=st.last_event.at[0].set(nm),
                     )
 
             elif isinstance(f, ExLoad):
@@ -265,6 +269,7 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
                         ex_right=r,
                         type=t,
                         n_loads=st.n_loads + nc,
+                        last_event=st.last_event.at[1].set(nc),
                         flags=st.flags | fl,
                     )
 
@@ -273,7 +278,8 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
                 def do(st, update=update, key=key):
                     l, r, nb = update(st.x, st.ex_left, st.ex_right, key)
                     return st.replace(
-                        ex_left=l, ex_right=r, n_unloads=st.n_unloads + nb
+                        ex_left=l, ex_right=r, n_unloads=st.n_unloads + nb,
+                        last_event=st.last_event.at[2].set(nb),
                     )
 
             state = jax.lax.cond(fire, do, lambda st: st, state)
@@ -442,12 +448,14 @@ def run(
     """Drive nsteps, returning (state, list_of_thermo_rows).
 
     Compiles one segment scan per Simulation and reuses it; thermo rows are
-    produced at t=0 (post-setup), every ``thermo_every`` steps, and at the
-    final step of the run (matching the reference's end-of-run thermo line,
-    src/thermo.cpp:324).  ``boundary_callback(state)`` fires whenever
-    ``state.step % boundary_every == 0`` (dump cadence) — device execution
-    is segmented on gcd(thermo_every, boundary_every) so both cadences are
-    honored by ONE setup + one compiled segment (no re-entry).
+    produced at t=0 (post-setup), at ABSOLUTE steps that are multiples of
+    ``thermo_every``, and at the final step of the run (matching the
+    reference, src/thermo.cpp:324: output keys on ``ntimestep % every``).
+    ``boundary_callback(state)`` fires whenever ``state.step %
+    boundary_every == 0`` (dump cadence).  Segments are phased on absolute
+    steps — a run entered at an unaligned step (staged decks: ``run 15``
+    then ``dump every 10``) still stops exactly at steps 20, 30, ...
+    (ADVICE r2: begin-relative phasing silently skipped those frames).
     ``max_segment`` bounds the steps per device call (very long single
     executions can trip transport timeouts on remote accelerators).
     """
@@ -474,12 +482,14 @@ def run(
         if thermo_callback:
             thermo_callback(row, state)
     if boundary_callback and boundary_every > 0:
-        if int(state.step) % boundary_every == 0:
+        if begin % boundary_every == 0:
             boundary_callback(state)
 
     done = 0
     while done < nsteps:
-        this = min(seg, nsteps - done)
+        # advance to the next ABSOLUTE multiple of seg (or the run end)
+        cur = begin + done
+        this = min(seg - cur % seg, nsteps - done)
         left = this
         while left > 0:
             chunk = min(left, max_segment)
@@ -490,8 +500,9 @@ def run(
                 jax.device_get(state.step)
             left -= chunk
         done += this
+        step_abs = begin + done
         on_thermo = thermo_every > 0 and (
-            done % thermo_every == 0 or done == nsteps
+            step_abs % thermo_every == 0 or done == nsteps
         )
         if on_thermo:
             row = jax.device_get(thermo_row(state, system))
@@ -499,6 +510,6 @@ def run(
             if thermo_callback:
                 thermo_callback(row, state)
         if boundary_callback and boundary_every > 0:
-            if int(state.step) % boundary_every == 0:
+            if step_abs % boundary_every == 0:
                 boundary_callback(state)
     return state, rows

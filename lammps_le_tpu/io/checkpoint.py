@@ -21,7 +21,7 @@ MAGIC = "lammps-le-tpu-ckpt-v1"
 _FIELDS = [
     "x", "v", "f", "img", "type", "ex_left", "ex_right",
     "key", "step", "flags", "epair", "ebond",
-    "n_moves", "n_loads", "n_unloads",
+    "n_moves", "n_loads", "n_unloads", "last_event",
 ]
 
 
@@ -38,5 +38,7 @@ def load_checkpoint(path: str, like: State) -> State:
         kw = {}
         for name in _FIELDS:
             ref = getattr(like, name)
+            if name not in z.files:  # older checkpoints lack last_event
+                continue
             kw[name] = jnp.asarray(z[name], ref.dtype)
     return like.replace(nbr=None, **kw)

@@ -19,8 +19,13 @@ from ..state import State
 from ..system import System
 
 
-def make_contact_fn(system: System, radius: float = 2.0, nbins: int = 256):
-    """jitted (state, cmap) -> cmap with this snapshot's contacts added.
+def make_contact_fn(system: System, radius: float = 2.0, nbins: int = 256,
+                    cap_boost: int = 1):
+    """jitted (state, cmap) -> (cmap, flags): this snapshot's contacts
+    added plus a sticky flags word (FLAG_CELL_OVERFLOW when the dedicated
+    grid dropped beads — then the frame undercounts and the caller must
+    rebuild with a larger ``cell_cap``; see ADVICE r2: LE globules are
+    locally dense, so overflow must never pass silently).
 
     cmap is a (nbins, nbins) float32 matrix over genomic (chain-index)
     bins; both (i,j) and (j,i) receive each contact.
@@ -37,9 +42,17 @@ def make_contact_fn(system: System, radius: float = 2.0, nbins: int = 256):
 
         box = system.box_size
         density = n / float(_np.prod(_np.asarray(box)))
-        cap = max(8, int(_np.ceil(4.0 * density * radius ** 3)))
-        ncfg = make_neighbor_config(box, radius, skin=0.0, cell_cap=cap)
+        # Poisson-tail sizing, not mean-density: chromatin globules pack
+        # cells well past the mean (lam + 6*sqrt(lam) covers the tail;
+        # overflow is still flagged, never silent)
+        lam = 4.0 * density * radius ** 3
+        cap = max(8, int(_np.ceil(lam + 6.0 * _np.sqrt(lam) + 4.0)))
+        ncfg = make_neighbor_config(box, radius, skin=0.0,
+                                    cell_cap=cap * cap_boost)
         system = system.replace(neighbor=ncfg)
+    elif cap_boost > 1:
+        system = system.with_neighbor(
+            cell_cap=system.neighbor.cell_cap * cap_boost)
     assert radius <= system.neighbor.cell_size, (
         f"contact radius {radius} exceeds even a dedicated grid's reach "
         f"{system.neighbor.cell_size} (box too small)"
@@ -49,9 +62,9 @@ def make_contact_fn(system: System, radius: float = 2.0, nbins: int = 256):
     offsets = grid_ops._OFFSETS
 
     @jax.jit
-    def accumulate(state: State, cmap: jax.Array) -> jax.Array:
+    def accumulate(state: State, cmap: jax.Array):
         x, _ = wrap_positions(state.x, system, state.img)
-        grid, _ = grid_ops.build_grid(x, system)
+        grid, overflow = grid_ops.build_grid(x, system)
         slot = grid.slot_bead
         dtype = x.dtype
         far = jnp.asarray(-1.0e4, dtype)
@@ -90,13 +103,21 @@ def make_contact_fn(system: System, radius: float = 2.0, nbins: int = 256):
             cm = cm.reshape(-1).at[flat].add(
                 mask.reshape(-1).astype(jnp.float32), mode="drop"
             ).reshape(nbins, nbins)
-        return cm
+        return cm, overflow
 
     return accumulate
 
 
 def contact_map_accumulate(state, system, cmap=None, radius=2.0, nbins=256):
-    """Convenience one-shot wrapper."""
+    """Convenience one-shot wrapper; raises on dropped beads after retrying
+    with a doubled cell cap (a dropped bead = silently undercounted
+    contacts in the A/B acceptance observable)."""
     if cmap is None:
         cmap = jnp.zeros((nbins, nbins), jnp.float32)
-    return make_contact_fn(system, radius, nbins)(state, cmap)
+    for cap_boost in (1, 2, 4, 8):
+        fn = make_contact_fn(system, radius, nbins, cap_boost=cap_boost)
+        out, fl = fn(state, cmap)
+        if int(fl) == 0:
+            return out
+    raise RuntimeError(
+        "contact_map: cell overflow persisted after cap retries")

@@ -21,21 +21,30 @@ from ..state import State
 from ..system import System, make_neighbor_config
 
 
-def make_rdf_fn(system: System, nbins: int = 50, rmax: float = None):
-    """jitted (state, hist) -> hist with this snapshot's pair counts added.
+def make_rdf_fn(system: System, nbins: int = 50, rmax: float = None,
+                cap_boost: int = 1):
+    """jitted (state, hist) -> (hist, flags) with this snapshot's pair
+    counts added.
 
     ``hist`` is a (nbins,) float32 vector of raw pair counts (both
-    directions); convert to g(r) with :func:`normalize_rdf`.
+    directions); convert to g(r) with :func:`normalize_rdf`.  ``flags``
+    carries FLAG_CELL_OVERFLOW when the binning grid dropped beads (the
+    frame then undercounts pairs — resize with ``cap_boost``); overflow is
+    never silent (ADVICE r2: LE globules pack far beyond mean density).
     """
     if rmax is None:
         rmax = system.neighbor.cell_size
     if rmax > system.neighbor.cell_size:
         density = system.n / float(np.prod(np.asarray(system.box_size)))
-        cap = max(8, int(np.ceil(4.0 * density * rmax ** 3)))
+        lam = 4.0 * density * rmax ** 3
+        cap = max(8, int(np.ceil(lam + 6.0 * np.sqrt(lam) + 4.0)))
         system = system.replace(
             neighbor=make_neighbor_config(system.box_size, rmax, skin=0.0,
-                                          cell_cap=cap)
+                                          cell_cap=cap * cap_boost)
         )
+    elif cap_boost > 1:
+        system = system.with_neighbor(
+            cell_cap=system.neighbor.cell_cap * cap_boost)
     assert rmax <= system.neighbor.cell_size
     _, interior, _, strides, shifts = grid_ops.halo_maps(system)
     offsets = grid_ops._OFFSETS
@@ -43,9 +52,9 @@ def make_rdf_fn(system: System, nbins: int = 50, rmax: float = None):
     inv_dr = nbins / rmax
 
     @jax.jit
-    def accumulate(state: State, hist: jax.Array) -> jax.Array:
+    def accumulate(state: State, hist: jax.Array):
         x, _ = wrap_positions(state.x, system, state.img)
-        grid, _ = grid_ops.build_grid(x, system)
+        grid, overflow = grid_ops.build_grid(x, system)
         slot = grid.slot_bead
         dtype = x.dtype
         far = jnp.asarray(-1.0e4, dtype)
@@ -75,7 +84,7 @@ def make_rdf_fn(system: System, nbins: int = 50, rmax: float = None):
             h = h.at[binidx.reshape(-1)].add(
                 mask.reshape(-1).astype(jnp.float32), mode="drop"
             )
-        return h
+        return h, overflow
 
     return accumulate
 

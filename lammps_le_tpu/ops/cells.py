@@ -68,8 +68,12 @@ def wrap_positions(x: jax.Array, system: System, img: jax.Array):
     under = x < lo
     x = jnp.where(under, x + box, x)
     shift = shift - under.astype(jnp.int32)
-    # a value that still rounds onto hi after the correction pins to lo
-    x = jnp.where(x >= hi, lo, x)
+    # a value that still rounds onto hi after the correction pins to lo —
+    # a full-box move, so it counts as one more ``over`` crossing (else the
+    # image counter is off by one and unwrapped trajectories / MSD skew)
+    pin = x >= hi
+    x = jnp.where(pin, lo, x)
+    shift = shift + pin.astype(jnp.int32)
     return x, img + shift
 
 

@@ -77,7 +77,10 @@ def make_sharded_segment(sim, mesh: Mesh, sp_axis="sp"):
     """
     from ..fast.engine import make_fast_segment
 
-    segment, _ = make_fast_segment(sim)
+    # XLA step core: the fused Pallas kernel cannot run over GSPMD-sharded
+    # planes (a pallas_call would force a gather); the XLA chain lets
+    # GSPMD insert halo collectives
+    segment, _ = make_fast_segment(sim, pallas=False)
 
     def sharded(fs, step0, length, run_begin, run_end):
         out = segment(fs, step0, length, run_begin, run_end)
@@ -97,7 +100,7 @@ def make_replicated_sharded_segment(sim, mesh: Mesh, dp_axis="dp",
     """(dp x sp) segment: vmapped replicas over dp, cell slabs over sp."""
     from ..fast.engine import make_fast_segment
 
-    segment, _ = make_fast_segment(sim)
+    segment, _ = make_fast_segment(sim, pallas=False)  # see above
     vseg = jax.vmap(segment, in_axes=(0, None, None, None, None))
 
     def sharded(fs, step0, length, run_begin, run_end):

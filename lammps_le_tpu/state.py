@@ -64,6 +64,10 @@ class State:
     n_moves: jax.Array = None    # () int32 total extruder shifts
     n_loads: jax.Array = None    # () int32 total extruders loaded
     n_unloads: jax.Array = None  # () int32 total extruders unloaded
+    # counts at the MOST RECENT event of each kind (moves, loads, unloads):
+    # the reference's f_ID[1] reports this, not a delta since the last
+    # thermo row (fix_extrusion.cpp:1496-1501)
+    last_event: jax.Array = None  # (3,) int32
     nbr: Optional[NeighborList] = None
 
     @property
@@ -110,6 +114,7 @@ def init_state(
         n_moves=jnp.zeros((), jnp.int32),
         n_loads=jnp.zeros((), jnp.int32),
         n_unloads=jnp.zeros((), jnp.int32),
+        last_event=jnp.zeros((3,), jnp.int32),
         nbr=None,
     )
 

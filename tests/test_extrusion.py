@@ -54,8 +54,8 @@ EX_FIX = Extrusion(nevery=10, neutral_type=1, ctcf_left=2, ctcf_right=3,
 def run_extrusion(system, x, state, fix=EX_FIX, key=0):
     upd = make_extrusion_update(system, fix)
     occ = extruder_partner(state, system.n) >= 0
-    l, r, nm = upd(jnp.asarray(x), state.type, state.ex_left, state.ex_right,
-                   occ, jax.random.PRNGKey(key))
+    l, r, nm, _ = upd(jnp.asarray(x), state.type, state.ex_left,
+                      state.ex_right, occ, jax.random.PRNGKey(key))
     return np.asarray(l), np.asarray(r), int(nm)
 
 
@@ -232,3 +232,32 @@ def test_unload_fraction_zero_keeps_all():
                    jax.random.PRNGKey(0))
     assert int(nb) == 0
     assert int(l[0]) == 10
+
+
+def test_release_r_unloads_wound_extruder():
+    """Opt-in max-tension stall release (Extrusion.release_r): an extruder
+    stretched past release_r unloads at event time; shorter ones keep
+    extruding (bounds VALIDATION.md defect 2)."""
+    system, x = straight_chain_system(n=30, max_extruders=8)
+    state = init_state(system, x)
+    # (5,7) spans 1.94 < 5.0; (10,20) spans 9.7 > 5.0
+    state = put_extruders(state, [(5, 7), (10, 20)], 8)
+    fix = Extrusion(nevery=10, neutral_type=1, ctcf_left=2, ctcf_right=3,
+                    through_prob=0.0, btype=2, release_r=5.0)
+    upd = make_extrusion_update(system, fix)
+    occ = extruder_partner(state, system.n) >= 0
+    l, r, nm, nrel = upd(jnp.asarray(x), state.type, state.ex_left,
+                         state.ex_right, occ, jax.random.PRNGKey(0))
+    l, r = np.asarray(l), np.asarray(r)
+    assert int(nrel) == 1
+    assert l[1] == -1 and r[1] == -1     # wound extruder released
+    assert (l[0], r[0]) == (4, 8)        # healthy one extruded both ways
+    assert int(nm) == 1
+
+
+def test_release_r_off_by_default():
+    system, x = straight_chain_system(n=30, max_extruders=8)
+    state = init_state(system, x)
+    state = put_extruders(state, [(10, 20)], 8)
+    l, r, nm = run_extrusion(system, x, state)  # EX_FIX has release_r=0
+    assert (l[0], r[0]) == (9, 21)

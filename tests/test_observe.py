@@ -101,7 +101,9 @@ def test_rdf_matches_bruteforce():
     state = init_state(system, x, seed=1)
     nbins, rmax = 20, 1.4
     fn = make_rdf_fn(system, nbins=nbins, rmax=rmax)
-    hist = np.asarray(fn(state, jnp.zeros((nbins,), jnp.float32)))
+    hist, fl = fn(state, jnp.zeros((nbins,), jnp.float32))
+    assert int(fl) == 0  # binning grid must not drop beads
+    hist = np.asarray(hist)
 
     # numpy reference histogram
     ref = np.zeros(nbins)

@@ -1,0 +1,128 @@
+"""Fused whole-step Pallas kernel vs the XLA step core.
+
+The pallas core (fast/pallas_step.py) must be physics-identical to the XLA
+chain in engine.make_fast_segment: same velocity-Verlet order, same halo
+semantics, same fused LJ+FENE+exclusion stencil, same counter-based
+threefry Langevin noise (bit-exact stream), same LE-event/rebuild gating.
+Runs the kernel in interpreter mode on CPU (the hardware path is the same
+jaxpr compiled by Mosaic).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lammps_le_tpu.fast import from_fast, to_fast
+from lammps_le_tpu.fast.engine import make_fast_segment
+from lammps_le_tpu.fixes import NVE, Extrusion, ExLoad, ExUnload, Langevin
+from lammps_le_tpu.integrate import Simulation, run as run_general
+from lammps_le_tpu.io.data import system_from_data
+from lammps_le_tpu.scene import serpentine
+from lammps_le_tpu.state import init_state
+from lammps_le_tpu.system import BOND_FENE, BOND_HARMONIC, BondParams, PairLJCut
+
+
+@pytest.fixture(scope="module")
+def melt32():
+    """Small thermalized f32 melt with seeded extruders."""
+    n = 500
+    data = serpentine(n, spacing=0.97, row_gap=1.1, seed=3,
+                      barrier_fraction=0.01)
+    ones = np.ones((4, 4))
+    pair = PairLJCut(epsilon=ones, sigma=ones, cutoff=1.12 * ones, shift=True)
+    bonds = BondParams(
+        style=np.array([BOND_FENE, BOND_HARMONIC]),
+        coeffs=np.array([[30.0, 1.5, 1.0, 1.0], [3.0, 1.1, 0.0, 0.0]]),
+    )
+    system, _ = system_from_data(
+        data, pair=pair, bonds=bonds, dtype="float32", ex_btype=2,
+        max_extruders=16, skin=0.3, rebuild_every=3, cell_cap=8,
+    )
+    warm = Simulation(system=system, dt=0.005,
+                      fixes=(NVE(), Langevin(1.0, 1.0, 1.0, seed=5)),
+                      ex_btype=2)
+    state = init_state(system, data.x, types=data.types, seed=11)
+    state, _ = run_general(warm, state, 60)
+    left = np.full(16, -1, np.int32)
+    right = np.full(16, -1, np.int32)
+    sites = np.arange(6) * 80 + 3
+    left[:6] = sites
+    right[:6] = sites + 2
+    state = state.replace(
+        ex_left=jnp.asarray(left), ex_right=jnp.asarray(right),
+        flags=jnp.zeros((), jnp.uint32),
+    )
+    return system, state
+
+
+def _le_sim(system, energy_every=4):
+    return Simulation(
+        system=system, dt=0.005, energy_every=energy_every,
+        fixes=(
+            NVE(),
+            Langevin(t_start=1.0, t_stop=1.0, damp=10.0, seed=904297),
+            Extrusion(nevery=5, neutral_type=1, ctcf_left=2, ctcf_right=3,
+                      through_prob=0.5, btype=2, ctcf_left_right=4),
+            ExLoad(nevery=7, iatomtype=1, jatomtype=1, cutoff=1.12, btype=2,
+                   fraction=0.05, seed=684474, imaxbond=1, inewtype=1,
+                   jmaxbond=1, jnewtype=1),
+            ExUnload(nevery=7, btype=2, cutoff=0.5, fraction=0.05,
+                     seed=456456),
+        ),
+        ex_btype=2,
+    )
+
+
+def _run_core(sim, state, nsteps, pallas):
+    segment, _ = make_fast_segment(sim, pallas=pallas)
+    fs = to_fast(state, sim)
+    begin = int(jax.device_get(fs.step))
+    seg = jax.jit(segment, static_argnames=())
+    fs = seg(fs, jnp.asarray(begin, jnp.int32), nsteps,
+             jnp.asarray(begin, jnp.int32),
+             jnp.asarray(begin + nsteps, jnp.int32))
+    return fs
+
+
+def test_one_step_parity(melt32):
+    """Forces/positions/velocities after ONE fused-kernel step match the
+    XLA chain to f32 reassociation tolerance."""
+    system, state = melt32
+    sim = _le_sim(system, energy_every=1)
+    fx = _run_core(sim, state, 1, pallas=False)
+    fp = _run_core(sim, state, 1, pallas="interpret")
+    scale = float(jnp.max(jnp.abs(fx.gf)))
+    assert float(jnp.max(jnp.abs(fp.gf - fx.gf))) < 3e-5 * max(scale, 1.0)
+    assert float(jnp.max(jnp.abs(fp.gx - fx.gx))) < 1e-6
+    assert float(jnp.max(jnp.abs(fp.gv - fx.gv))) < 3e-5 * max(scale, 1.0)
+    assert abs(float(fp.epair) - float(fx.epair)) < 2e-2
+    assert abs(float(fp.ebond) - float(fx.ebond)) < 2e-2
+    assert int(fp.flags) == int(fx.flags) == 0
+
+
+def test_trajectory_and_events_parity(melt32):
+    """20 steps with the full LE machinery: same events, same counters,
+    trajectories equal to amplified-f32 tolerance (identical noise stream,
+    rebuilds, LE decisions)."""
+    system, state = melt32
+    sim = _le_sim(system, energy_every=4)
+    n = 20
+    fx = _run_core(sim, state, n, pallas=False)
+    fp = _run_core(sim, state, n, pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(fx.ex_left),
+                                  np.asarray(fp.ex_left))
+    np.testing.assert_array_equal(np.asarray(fx.ex_right),
+                                  np.asarray(fp.ex_right))
+    assert int(fx.n_moves) == int(fp.n_moves)
+    assert int(fx.n_loads) == int(fp.n_loads)
+    assert int(fx.n_unloads) == int(fp.n_unloads)
+    assert int(fx.step) == int(fp.step)
+    sx = from_fast(fx, system)
+    sp = from_fast(fp, system)
+    err = float(jnp.max(jnp.abs(sx.x - sp.x)))
+    assert err < 1e-3, err
+    assert int(fx.flags) == int(fp.flags)
+    # energies refreshed on the same cadence
+    assert abs(float(fx.epair) - float(fp.epair)) < 0.1
