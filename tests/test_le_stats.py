@@ -33,8 +33,8 @@ def test_barrier_passage_rate_matches_through_prob():
     @jax.jit
     @jax.vmap
     def trial(key):
-        l, r, nm = upd(xj, state.type, state.ex_left, state.ex_right, occ,
-                       key)
+        l, r, nm, _ = upd(xj, state.type, state.ex_left, state.ex_right,
+                          occ, key)
         return l[0] == 9
 
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(trials))
