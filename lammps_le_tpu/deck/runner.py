@@ -228,17 +228,36 @@ class DeckRunner:
         """compute ID group style — gyration and msd diagnostics
         (reference: src/compute_gyration.cpp, src/compute_msd.cpp)."""
         cid, group, style = args[0], args[1], args[2]
+        self.computes = getattr(self, "computes", {})
         if style == "property/local":
             # bond-list accessor consumed by `dump local`
-            # (src/compute_property_local.cpp); the dump writer reads the
-            # topology directly, so this just registers the id
-            self.computes = getattr(self, "computes", {})
-            self.computes[cid] = {"style": style, "group": group}
+            # (src/compute_property_local.cpp); columns map 1:1 onto the
+            # topology fields the dump writer emits
+            props = [a for a in args[3:]]
+            cols = {"btype": "btype", "batom1": "batom1",
+                    "batom2": "batom2"}
+            self.computes[cid] = {
+                "style": style, "group": group,
+                "local_cols": [cols.get(p, p) for p in props] or None,
+            }
             return
-        if style not in ("gyration", "msd"):
+        if style == "bond/local":
+            # per-bond dist/eng values (src/compute_bond_local.cpp),
+            # consumed by `dump local`
+            props = args[3:]
+            bad = [p for p in props if p not in ("dist", "eng", "engpot")]
+            if bad:
+                raise DeckError(f"unsupported bond/local values {bad}")
+            self.computes[cid] = {
+                "style": style, "group": group,
+                "local_cols": ["eng" if p == "engpot" else p
+                               for p in props] or ["dist"],
+            }
+            return
+        if style not in ("gyration", "msd", "temp", "pressure"):
             raise DeckError(f"unsupported compute style {style}")
-        if not hasattr(self, "computes"):
-            self.computes = {}
+        # temp/pressure (src/compute_temp.cpp, src/compute_pressure.cpp):
+        # scalar diagnostics usable as thermo c_ID and in live variables
         self.computes[cid] = {"style": style, "group": group, "x0": None}
 
     def cmd_uncompute(self, args):
@@ -269,6 +288,12 @@ class DeckRunner:
                 spec["x0"] = xu
             d = xu - spec["x0"]
             return float(jnp.mean(jnp.sum(d * d, axis=-1)))
+        if spec["style"] == "temp":
+            from ..integrate.verlet import thermo_row
+
+            return float(thermo_row(st, self.system).temp)
+        if spec["style"] == "pressure":
+            return self.live_value("press")
         raise DeckError(cid)
 
     def live_value(self, key: str):
@@ -342,9 +367,32 @@ class DeckRunner:
 
         did, group, style, every, path = args[0], args[1], args[2], int(args[3]), args[4]
         fields = args[5:]
+        local_cols = None
+        if style == "local" and fields:
+            # resolve c_ID[k] columns against property/local and bond/local
+            # computes (src/dump_local.cpp reads the computes' local array)
+            import re as _re
+
+            local_cols = []
+            for fld in fields:
+                m = _re.fullmatch(r"c_(\w+)\[(\d+)\]", fld)
+                if not m:
+                    raise DeckError(f"dump local field {fld!r} must be a "
+                                    "c_ID[n] compute reference")
+                spec = getattr(self, "computes", {}).get(m.group(1))
+                if spec is None or "local_cols" not in spec:
+                    raise DeckError(f"dump local: {fld!r} references no "
+                                    "property/local or bond/local compute")
+                cols = spec["local_cols"] or ["btype", "batom1", "batom2"]
+                k = int(m.group(2)) - 1
+                if not 0 <= k < len(cols):
+                    raise DeckError(f"dump local: {fld!r} column out of "
+                                    f"range (compute has {len(cols)})")
+                local_cols.append(cols[k])
         self.dumps.append(
             DumpSpec(id=did, style=style, every=every,
                      path=os.path.join(self.root, path), fields=fields,
+                     local_cols=local_cols,
                      ex_btype=max(self._ex_btype(), 1))
         )
 

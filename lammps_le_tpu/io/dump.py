@@ -23,6 +23,9 @@ class DumpSpec:
     path: str
     fields: List[str]
     ex_btype: int = 2    # 1-based extruder bond type for 'local' frames
+    # per-bond value columns for 'local' frames (compute bond/local,
+    # src/compute_bond_local.cpp): any of btype/batom1/batom2/dist/eng
+    local_cols: Optional[List[str]] = None
     _fh: object = None
 
     def open(self):
@@ -45,27 +48,55 @@ def write_frame(spec: DumpSpec, state, system):
         # bond list frames (reference: compute property/local btype batom1
         # batom2 + dump local, src/compute_property_local.cpp +
         # src/dump_local.cpp) — backbone bonds from the implicit chain,
-        # extruder bonds from the live table; 1-based ids/types
+        # extruder bonds from the live table; 1-based ids/types.  Value
+        # columns (dist/eng) follow compute bond/local
+        # (src/compute_bond_local.cpp).
         nxt = np.asarray(system.next_bead)
         bt = np.asarray(system.backbone_type)
-        rows = []
         src = np.nonzero(nxt >= 0)[0]
-        for i in src:
-            rows.append((int(bt[i]) + 1, i + 1, int(nxt[i]) + 1))
+        a1 = list(src)
+        a2 = [int(nxt[i]) for i in src]
+        ty = [int(bt[i]) + 1 for i in src]
         exl = np.asarray(state.ex_left)
         exr = np.asarray(state.ex_right)
         for l, r in zip(exl, exr):
             if l >= 0:
-                rows.append((spec.ex_btype, int(l) + 1, int(r) + 1))
+                a1.append(int(l))
+                a2.append(int(r))
+                ty.append(spec.ex_btype)
+        a1 = np.asarray(a1, np.int64)
+        a2 = np.asarray(a2, np.int64)
+        ty = np.asarray(ty, np.int64)
+        cols = spec.local_cols or ["btype", "batom1", "batom2"]
+        need_vals = any(c in ("dist", "eng") for c in cols)
+        if need_vals:
+            box = np.asarray(system.box_size, np.float64)
+            d = x[a2] - x[a1]
+            d -= box * np.round(d / box)
+            dist = np.sqrt(np.sum(d * d, axis=-1))
+            eng = _bond_energy(system, ty, dist) if "eng" in cols else None
         fh.write("ITEM: TIMESTEP\n%d\n" % step)
-        fh.write("ITEM: NUMBER OF ENTRIES\n%d\n" % len(rows))
+        fh.write("ITEM: NUMBER OF ENTRIES\n%d\n" % len(a1))
         fh.write("ITEM: BOX BOUNDS pp pp pp\n")
         for lo, hi in zip(system.box_lo, system.box_hi):
             fh.write(f"{lo:.6g} {hi:.6g}\n")
         fh.write("ITEM: ENTRIES " + " ".join(spec.fields or
-                 ["c_bl[1]", "c_bl[2]", "c_bl[3]"]) + "\n")
-        for t, i, j in rows:
-            fh.write(f"{t} {i} {j}\n")
+                 [f"c_bl[{k+1}]" for k in range(len(cols))]) + "\n")
+        out = []
+        for c in cols:
+            if c == "btype":
+                out.append(ty)
+            elif c == "batom1":
+                out.append(a1 + 1)
+            elif c == "batom2":
+                out.append(a2 + 1)
+            elif c == "dist":
+                out.append(dist)
+            elif c == "eng":
+                out.append(eng)
+            else:
+                raise ValueError(f"unsupported local column {c}")
+        np.savetxt(fh, np.column_stack(out), fmt="%.8g")
         fh.flush()
         return
     if spec.style == "xyz":
@@ -109,6 +140,36 @@ def write_frame(spec: DumpSpec, state, system):
     else:
         raise ValueError(f"unsupported dump style {spec.style}")
     fh.flush()
+
+
+def _bond_energy(system, btype_1based, dist):
+    """Per-bond energy by 1-based type (compute bond/local 'eng',
+    src/compute_bond_local.cpp; formulas: src/MOLECULE/bond_fene.cpp:52-128,
+    src/MOLECULE/bond_harmonic.cpp:48)."""
+    from ..system import BOND_FENE, BOND_HARMONIC
+
+    styles = np.asarray(system.bonds.style)
+    coeffs = np.asarray(system.bonds.coeffs)
+    eng = np.zeros_like(dist)
+    for t in np.unique(btype_1based):
+        m = btype_1based == t
+        st = int(styles[t - 1])
+        c = coeffs[t - 1]
+        r = dist[m]
+        if st == BOND_HARMONIC:
+            k, r0 = c[0], c[1]
+            eng[m] = k * (r - r0) ** 2
+        elif st == BOND_FENE:
+            k, r0, eps, sig = c[0], c[1], c[2], c[3]
+            rlog = np.maximum(1.0 - (r / r0) ** 2, 0.1)
+            e = -0.5 * k * r0 * r0 * np.log(rlog)
+            wca = r < 2.0 ** (1.0 / 6.0) * sig
+            sr6 = (sig / np.maximum(r, 1e-12)) ** 6
+            e = e + np.where(wca, 4.0 * eps * sr6 * (sr6 - 1.0) + eps, 0.0)
+            eng[m] = e
+        else:
+            raise ValueError(f"unknown bond style {st}")
+    return eng
 
 
 def run_with_dumps(sim, state, nsteps, dumps, groups=None,

@@ -212,3 +212,73 @@ print "settled after $i stages at T=$(temp)"
     # thermalized melt: first check already passes -> exactly one stage
     assert int(r.state.step) == 5
     assert any(m.startswith("settled after 1 stages") for m in logged)
+
+
+def test_bond_local_dist_eng_columns(tmp_path):
+    """`compute bond/local dist eng` + `dump local` emit per-bond distance
+    and energy columns (src/compute_bond_local.cpp); FENE energies match
+    the bond formula on the dumped distances."""
+    td = str(tmp_path)
+    path = _prep(td, """
+compute bl all property/local btype batom1 batom2
+compute bd all bond/local dist eng
+dump bonds all local 10 bondv.dump c_bl[1] c_bl[2] c_bl[3] c_bd[1] c_bd[2]
+run 10
+""")
+    r = DeckRunner(dtype="float64", quiet=True)
+    r.run_file(path)
+    rows = []
+    with open(os.path.join(td, "bondv.dump")) as fh:
+        in_entries = False
+        for line in fh:
+            if line.startswith("ITEM: ENTRIES"):
+                in_entries = True
+                assert "c_bd[1]" in line and "c_bd[2]" in line
+                continue
+            if line.startswith("ITEM:"):
+                in_entries = False
+                continue
+            if in_entries:
+                rows.append([float(v) for v in line.split()])
+    assert rows
+    arr = np.array(rows[-199:])  # last frame: 199 backbone bonds
+    bt, a1, a2, dist, eng = arr.T
+    assert np.all(bt == 1)
+    assert np.all((dist > 0.5) & (dist < 1.45))
+    # FENE energy formula (bond_fene.cpp:52-128) on the dumped distances
+    k, r0, eps, sig = 30.0, 1.5, 1.0, 1.0
+    rlog = 1.0 - (dist / r0) ** 2
+    e = -0.5 * k * r0 * r0 * np.log(rlog)
+    wca = dist < 2 ** (1 / 6) * sig
+    sr6 = (sig / dist) ** 6
+    e = e + np.where(wca, 4 * eps * sr6 * (sr6 - 1) + eps, 0.0)
+    np.testing.assert_allclose(eng, e, rtol=1e-6)
+    # verify the distances themselves against final positions
+    x = np.asarray(r.state.x)
+    box = np.asarray(r.system.box_size)
+    d = x[a2.astype(int) - 1] - x[a1.astype(int) - 1]
+    d -= box * np.round(d / box)
+    np.testing.assert_allclose(dist, np.sqrt((d * d).sum(-1)), rtol=1e-6)
+
+
+def test_compute_temp_live(tmp_path):
+    """`compute tc all temp` is usable as a live c_ID — in equal variables
+    and directly — and matches the thermo temperature
+    (src/compute_temp.cpp; variable.cpp c_ID dispatch)."""
+    td = str(tmp_path)
+    path = _prep(td, """
+compute tc all temp
+variable tv equal c_tc
+run 10
+""")
+    r = DeckRunner(dtype="float64", quiet=True)
+    r.run_file(path)
+    from lammps_le_tpu.integrate.verlet import thermo_row
+    want = float(thermo_row(r.state, r.system).temp)
+    got = r.live_value("c_tc")
+    assert abs(got - want) < 1e-9 * max(1.0, abs(want))
+    # the equal variable carrying c_tc evaluates live at use time
+    from lammps_le_tpu.deck.script import ScriptInterpreter
+    interp = ScriptInterpreter(r)
+    interp.one("variable tv2 equal 2*c_tc")
+    assert abs(float(str(interp.vars["tv2"])) - 2 * want) < 1e-6
