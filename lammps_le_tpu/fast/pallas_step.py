@@ -185,7 +185,15 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     def kernel(d_ref, meta_ref, key_ref, sc_ref,
                gx_ref_in, gv_ref, gf_ref, exf_ref, gxr_ref,
                bid_ref, hn_ref, pid_ref, aux_ref,
-               ox_ref, ov_ref, of_ref, stats_ref):
+               ox_ref, ov_ref, of_ref, stats_ref,
+               facc_ref, sacc_ref):
+        """VMEM discipline (the 100k lesson): every value that must live
+        across the 27-offset fori goes through an explicit VMEM ref —
+        positions/velocities ride the output refs, force accumulators ride
+        ``facc_ref`` (3, cap, P) scratch, scalar tallies ride ``sacc_ref``
+        (4, P).  With an EMPTY loop carry Mosaic's register allocator keeps
+        only one body's temporaries live; the carry-based version spilled
+        149 MB at 100k beads and ran out of VMEM."""
         drift_on = meta_ref[1]
         # per-Simulation scalars (SMEM): geometry stays the compile key
         sc_dt = sc_ref[0]
@@ -193,19 +201,14 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         sc_g1 = sc_ref[2]
         sc_g2 = sc_ref[3]
         interior = aux_ref[6:7, :]                      # (1, P)
-        bid = bid_ref[...]
-        hn = hn_ref[...]
-        pid = pid_ref[...]
-        valid = jnp.where(bid < n, interior, 0.0)       # (cap, P) f32
         dflag = (drift_on > 0).astype(jnp.float32)
 
         # ---- initial integrate: half kick + drift (flagged) ----
-        gv1 = []
-        gx1 = []
+        valid = jnp.where(bid_ref[...] < n, interior, 0.0)
         for k in range(3):
             v1 = gv_ref[k] + (dflag * sc_kick) * gf_ref[k] * valid
-            gv1.append(v1)
-            gx1.append(gx_ref_in[k] + (dflag * sc_dt) * v1 * valid)
+            ov_ref[k] = v1
+            ox_ref[k] = gx_ref_in[k] + (dflag * sc_dt) * v1 * valid
 
         # ---- halo refresh: 6 masked face blends (forward_comm) ----
         for axis in range(3):
@@ -215,22 +218,25 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             keep = 1.0 - m_lo - m_hi
             L = float(box[axis])
             for k in range(3):
-                src_lo = pltpu.roll(gx1[k], s_lo, 1)
-                src_hi = pltpu.roll(gx1[k], s_hi, 1)
+                cur = ox_ref[k]
+                src_lo = pltpu.roll(cur, s_lo, 1)
+                src_hi = pltpu.roll(cur, s_hi, 1)
                 if k == axis:
                     src_lo = src_lo - L
                     src_hi = src_hi + L
-                gx1[k] = gx1[k] * keep + src_lo * m_lo + src_hi * m_hi
-
-        X, Y, Z = gx1
+                ox_ref[k] = cur * keep + src_lo * m_lo + src_hi * m_hi
 
         # ---- fused stencil: LJ + FENE + exclusions over 27 offsets ----
-        frows = [jnp.zeros((1, P), jnp.float32) for _ in range(3 * cap)]
+        facc_ref[...] = jnp.zeros((3, cap, P), jnp.float32)
+        sacc_ref[...] = jnp.zeros((4, P), jnp.float32)
 
         def offset_body(o, carry):
-            rows = list(carry[:3 * cap])
-            eacc, ebacc, nbacc, clacc = carry[3 * cap:]
             d = d_ref[o]
+            X = ox_ref[0]
+            Y = ox_ref[1]
+            Z = ox_ref[2]
+            bid = bid_ref[...]
+            hn = hn_ref[...]
             Xj = pltpu.roll(X, d, 1)
             Yj = pltpu.roll(Y, d, 1)
             Zj = pltpu.roll(Z, d, 1)
@@ -242,7 +248,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                 zi = Z[i:i + 1, :]
                 bi = bid[i:i + 1, :]
                 hi = hn[i:i + 1, :]
-                pi = pid[i:i + 1, :]
+                pi = pid_ref[i:i + 1, :]
                 int_i = jnp.where(bi < n, interior, 0.0)
 
                 dx = xi - Xj
@@ -264,7 +270,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                 r6 = r2 * r2 * r2
                 ffac = r6 * (lj1 * r6 - lj2) * r2 * w_lj
                 if energy:
-                    eacc = eacc + jnp.sum(
+                    sacc_ref[0:1, :] += jnp.sum(
                         (r6 * (lj3 * r6 - lj4) - offe) * w_lj,
                         axis=0, keepdims=True)
                 if kf != 0.0:
@@ -283,78 +289,67 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                         wca, 48.0 * epsf * sr6 * (sr6 - 0.5) / rsq_w, 0.0
                     )
                     ffac = ffac + fb * w_b
-                    nbacc = nbacc + jnp.sum(w_b, axis=0, keepdims=True)
-                    clacc = clacc + jnp.sum(
+                    sacc_ref[2:3, :] += jnp.sum(w_b, axis=0, keepdims=True)
+                    sacc_ref[3:4, :] += jnp.sum(
                         jnp.where(cl, w_b, 0.0), axis=0, keepdims=True
                     )
                     if energy:
-                        ebacc = ebacc + jnp.sum(
+                        sacc_ref[1:2, :] += jnp.sum(
                             w_b * (-0.5 * kf * r0sq * jnp.log(rlog)
                                    + jnp.where(
                                        wca,
                                        4.0 * epsf * sr6 * (sr6 - 1.0) + epsf,
                                        0.0)),
                             axis=0, keepdims=True)
-                rows[3 * i + 0] = rows[3 * i + 0] + jnp.sum(
+                facc_ref[0, i:i + 1, :] += jnp.sum(
                     dx * ffac, axis=0, keepdims=True)
-                rows[3 * i + 1] = rows[3 * i + 1] + jnp.sum(
+                facc_ref[1, i:i + 1, :] += jnp.sum(
                     dy * ffac, axis=0, keepdims=True)
-                rows[3 * i + 2] = rows[3 * i + 2] + jnp.sum(
+                facc_ref[2, i:i + 1, :] += jnp.sum(
                     dz * ffac, axis=0, keepdims=True)
-            return tuple(rows) + (eacc, ebacc, nbacc, clacc)
+            return carry
 
-        zero1 = jnp.zeros((1, P), jnp.float32)
-        carry0 = tuple(frows) + (zero1, zero1, zero1, zero1)
-        out = jax.lax.fori_loop(0, NOFF, offset_body, carry0)
-        rows = out[:3 * cap]
-        eacc, ebacc, nbacc, clacc = out[3 * cap:]
+        jax.lax.fori_loop(0, NOFF, offset_body, jnp.zeros((), jnp.int32))
 
-        FX = jnp.concatenate([rows[3 * i + 0] for i in range(cap)], axis=0)
-        FY = jnp.concatenate([rows[3 * i + 1] for i in range(cap)], axis=0)
-        FZ = jnp.concatenate([rows[3 * i + 2] for i in range(cap)], axis=0)
-        if has_ex:
-            FX = FX + exf_ref[0]
-            FY = FY + exf_ref[1]
-            FZ = FZ + exf_ref[2]
-        ftot = [FX, FY, FZ]
-
-        # ---- post force: Langevin (fix_langevin.cpp:654-674) ----
+        # ---- post force: extruder springs + Langevin
+        #      (fix_langevin.cpp:654-674) ----
         if lan is not None:
             k0 = key_ref[0]
             k1 = key_ref[1]
-            c0 = pltpu.bitcast(bid, jnp.uint32)
             base = key_ref[2]  # step*4 as uint32, computed by the caller
             scale = 1.0 / 16777216.0
-            for comp in range(3):
+        bid = bid_ref[...]
+        valid = jnp.where(bid < n, interior, 0.0)
+        for comp in range(3):
+            f = facc_ref[comp]
+            if has_ex:
+                f = f + exf_ref[comp]
+            if lan is not None:
+                c0 = pltpu.bitcast(bid, jnp.uint32)
                 x0, _ = _threefry2x32(k0, k1, c0, base + jnp.uint32(comp))
                 u = (x0 >> 8).astype(jnp.int32).astype(jnp.float32) * scale
                 noise = u - 0.5
-                ftot[comp] = ftot[comp] + (
-                    sc_g1 * gv1[comp] + sc_g2 * noise) * valid
-
-        # ---- final integrate: half kick ----
-        gv2 = [gv1[k] + sc_kick * ftot[k] * valid for k in range(3)]
+                f = f + (sc_g1 * ov_ref[comp] + sc_g2 * noise) * valid
+            of_ref[comp] = f
+            # ---- final integrate: half kick ----
+            ov_ref[comp] = ov_ref[comp] + sc_kick * f * valid
 
         # ---- skin monitor: max displacement vs rebuild reference ----
-        dxr = X - gxr_ref[0]
-        dyr = Y - gxr_ref[1]
-        dzr = Z - gxr_ref[2]
+        dxr = ox_ref[0] - gxr_ref[0]
+        dyr = ox_ref[1] - gxr_ref[1]
+        dzr = ox_ref[2] - gxr_ref[2]
         dsq = (dxr * dxr + dyr * dyr + dzr * dzr) * valid
         skin_bad = jnp.where(
             jnp.max(dsq) > halfskin_sq, 1.0, 0.0)
 
-        n_links = jnp.sum(jnp.where(bid < n, interior, 0.0)
-                          * (hn > 0).astype(jnp.float32))
+        hn = hn_ref[...]
+        n_links = jnp.sum(valid * (hn > 0).astype(jnp.float32))
 
-        for k in range(3):
-            ox_ref[k] = gx1[k]
-            ov_ref[k] = gv2[k]
-            of_ref[k] = ftot[k]
         stats = jnp.concatenate([
-            jnp.full((1, 128), jnp.sum(eacc), jnp.float32),
-            jnp.full((1, 128), jnp.sum(ebacc), jnp.float32),
-            jnp.full((1, 128), jnp.sum(nbacc), jnp.float32),
-            jnp.full((1, 128), jnp.sum(clacc), jnp.float32),
+            jnp.full((1, 128), jnp.sum(sacc_ref[0:1, :]), jnp.float32),
+            jnp.full((1, 128), jnp.sum(sacc_ref[1:2, :]), jnp.float32),
+            jnp.full((1, 128), jnp.sum(sacc_ref[2:3, :]), jnp.float32),
+            jnp.full((1, 128), jnp.sum(sacc_ref[3:4, :]), jnp.float32),
             jnp.full((1, 128), n_links, jnp.float32),
             jnp.full((1, 128), skin_bad, jnp.float32),
             jnp.zeros((2, 128), jnp.float32),
@@ -380,8 +375,12 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +
                      [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            scratch_shapes=[
+                pltpu.VMEM((3, cap, P), jnp.float32),   # force accumulators
+                pltpu.VMEM((4, P), jnp.float32),        # e/eb/nb/clamp rows
+            ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=112 * 1024 * 1024),
+                vmem_limit_bytes=120 * 1024 * 1024),
             interpret=interpret,
         )
         _CALL_CACHE[cache_key] = grid_call
