@@ -114,7 +114,10 @@ def main():
     state = state.replace(flags=jnp.zeros((), jnp.uint32))
 
     # --- replica sweep: vmapped ensembles (BASELINE config 5) ---
-    segment, _ = make_fast_segment(sim)
+    # R=1 runs the fused whole-step Pallas core un-vmapped (its SMEM
+    # scalar inputs cannot batch); R>1 vmaps the XLA chain
+    segment_p, _ = make_fast_segment(sim)
+    segment_x, _ = make_fast_segment(sim, pallas=False)
     results = {}
     sweep = [1, 2] if quick else [1, 4, 8]
     best = None
@@ -129,7 +132,15 @@ def main():
                     results[1]["agg_bead_steps_per_s"]:
                 log(f"skipping R={R}: no aggregate gain at R={prevR}")
                 continue
-        vseg = jax.jit(jax.vmap(segment, in_axes=(0, None, None, None, None)))
+        if R == 1:
+            seg1 = jax.jit(segment_p)
+            vseg = jax.jit(
+                lambda fs, *a: jax.tree.map(
+                    lambda l: l[None], seg1(jax.tree.map(lambda l: l[0], fs),
+                                            *a)))
+        else:
+            vseg = jax.jit(jax.vmap(segment_x,
+                                    in_axes=(0, None, None, None, None)))
 
         def rep(seed_i, s):
             return to_fast(s.replace(key=jax.random.fold_in(s.key, seed_i)),
