@@ -59,6 +59,8 @@ class DeckRunner:
         self.groups: Dict[str, np.ndarray] = {}
         self.velocity_cmds: List = []
         self.data = None
+        self.lattice = None
+        self.regions: Dict[str, tuple] = {}
         self.max_extruders = max_extruders
         self.dumps: List = []
         self.log_fh = None
@@ -108,7 +110,7 @@ class DeckRunner:
         self.units = args[0]
 
     def cmd_atom_style(self, args):
-        if args[0] not in ("bond", "molecular", "angle"):
+        if args[0] not in ("bond", "molecular", "angle", "atomic"):
             raise DeckError(f"unsupported atom_style {args[0]}")
         self.atom_style = args[0]
 
@@ -151,7 +153,78 @@ class DeckRunner:
         self._dirty = True
 
     def cmd_lattice(self, args):
-        pass  # scene generation handled by tools/chain generator
+        """lattice style rho — lj units: the argument is the REDUCED
+        DENSITY; spacing a = (basis/rho)^(1/3)
+        (reference: src/lattice.cpp setup for units lj)."""
+        style = args[0]
+        if style == "none":
+            self.lattice = None
+            return
+        basis = {
+            "sc": [(0, 0, 0)],
+            "bcc": [(0, 0, 0), (0.5, 0.5, 0.5)],
+            "fcc": [(0, 0, 0), (0.5, 0.5, 0), (0.5, 0, 0.5), (0, 0.5, 0.5)],
+        }
+        if style not in basis:
+            raise DeckError(f"unsupported lattice style {style}")
+        rho = float(args[1])
+        if self.units == "lj":
+            a = (len(basis[style]) / rho) ** (1.0 / 3.0)
+        else:
+            a = rho  # non-lj units: the argument IS the lattice constant
+        self.lattice = (style, a, basis[style])
+
+    def cmd_region(self, args):
+        """region ID block xlo xhi ylo yhi zlo zhi — bounds in lattice
+        units when a lattice is defined (region.cpp default 'units
+        lattice')."""
+        rid, style = args[0], args[1]
+        if style != "block":
+            raise DeckError(f"unsupported region style {style}")
+        bb = [float(v) for v in args[2:8]]
+        scale = self.lattice[1] if self.lattice else 1.0
+        self.regions[rid] = ("block", [v * scale for v in bb])
+
+    def cmd_create_box(self, args):
+        rid = args[1]
+        if rid not in self.regions:
+            raise DeckError(f"create_box: undefined region {rid!r}")
+        _, bb = self.regions[rid]
+        self._pending_box = (int(args[0]), (bb[0], bb[2], bb[4]),
+                             (bb[1], bb[3], bb[5]))
+
+    def cmd_create_atoms(self, args):
+        """create_atoms type box — fill the created box with the current
+        lattice (reference: src/create_atoms.cpp); synthesizes the same
+        DataFile read_data would produce, with no bonds."""
+        from ..io.data import DataFile
+
+        if self.lattice is None:
+            raise DeckError("create_atoms requires a lattice")
+        if not hasattr(self, "_pending_box"):
+            raise DeckError("create_atoms before create_box")
+        if args[1] != "box":
+            raise DeckError("only 'create_atoms <type> box' is supported")
+        atype = int(args[0])
+        ntypes, lo, hi = self._pending_box
+        _, a, basis = self.lattice
+        counts = [int(round((h - l) / a)) for l, h in zip(lo, hi)]
+        cells = np.stack(np.meshgrid(*[np.arange(c) for c in counts],
+                                     indexing="ij"), axis=-1).reshape(-1, 3)
+        pts = (cells[:, None, :] + np.asarray(basis)[None, :, :]).reshape(-1, 3)
+        x = pts * a + np.asarray(lo)
+        n = len(x)
+        self.data = DataFile(
+            n_atoms=n, n_bonds=0, n_atom_types=ntypes, n_bond_types=0,
+            box_lo=tuple(lo), box_hi=tuple(hi),
+            masses=np.ones(ntypes), x=x, v=None,
+            types=np.full(n, atype - 1, np.int32),
+            molecule=np.zeros(n, np.int32),
+            image=np.zeros((n, 3), np.int32),
+            bonds=np.zeros((0, 3), np.int64),
+        )
+        self.timestep0 = 0
+        self._dirty = True
 
     def cmd_mass(self, args):
         self.masses[int(args[0])] = float(args[1])
