@@ -56,11 +56,11 @@ def main():
         coeffs=np.array([[30.0, 1.5, 1.0, 1.0], [3.0, 1.1, 0.0, 0.0]]),
     )
     # cells are floored at the FENE clamp reach (system.make_neighbor_config
-    # min_cell) so in-kernel bonds can never leave the stencil; rebuild
-    # every 4 steps against the implied ~0.35 skin
+    # min_cell) so in-kernel bonds can never leave the stencil; rebuilds
+    # are reactive (decide()-analog skin trigger), cadence 40 backstops
     system, _ = system_from_data(
         data, pair=pair, bonds=bonds, dtype="float32",
-        ex_btype=2, max_extruders=4096, skin=0.30, rebuild_every=4,
+        ex_btype=2, max_extruders=1024, skin=0.30, rebuild_every=40,
         cell_cap=8,
     )
     log(f"grid {system.neighbor.nx}^3 cell {system.neighbor.cell_size:.3f} "
@@ -80,8 +80,8 @@ def main():
 
     # --- seed extruders at regular (i, i+2) sites ---
     spacing = n_beads // n_ex0
-    left = np.full(4096, -1, np.int32)
-    right = np.full(4096, -1, np.int32)
+    left = np.full(1024, -1, np.int32)
+    right = np.full(1024, -1, np.int32)
     sites = np.arange(n_ex0) * spacing + 1
     left[:n_ex0] = sites
     right[:n_ex0] = sites + 2
@@ -117,7 +117,7 @@ def main():
     # R=1 runs the fused whole-step Pallas core un-vmapped (its SMEM
     # scalar inputs cannot batch); R>1 vmaps the XLA chain
     segment_p, _ = make_fast_segment(sim)
-    segment_x, _ = make_fast_segment(sim, pallas=False)
+    segment_x, _ = make_fast_segment(sim, pallas=False, reactive=False)
     results = {}
     sweep = [1, 2] if quick else [1, 4, 8]
     best = None

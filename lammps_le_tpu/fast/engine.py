@@ -178,6 +178,11 @@ class FastState:
     # (3,) counts at the most recent (move, load, unload) event — f_ID[1]
     # semantics (fix_extrusion.cpp:1496-1501)
     last_event: jax.Array = None
+    # () int32: 1 = displacement since rebuild crossed the reactive
+    # trigger (0.75 * half-skin); the next step rebuilds (the decide()/
+    # check_distance analog, src/neighbor.cpp:1933-1962, with a one-step
+    # lag the 0.75 factor absorbs)
+    skin_pend: jax.Array = None
 
 
 # ---------------------------------------------------------------------------
@@ -661,6 +666,7 @@ def to_fast(state: State, sim) -> FastState:
         n_unloads=state.n_unloads,
         n_clamps=jnp.zeros((), jnp.int32) + clamps,
         last_event=state.last_event,
+        skin_pend=jnp.zeros((), jnp.int32),
     )
 
 
@@ -740,7 +746,8 @@ def _pallas_step_mode(system, pallas):
     return None
 
 
-def make_fast_segment(sim, thermo_every: int = 0, pallas=None):
+def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
+                      reactive: bool = True):
     """Build ``segment(fs, length) -> fs`` advancing ``length`` steps.
 
     Step gates (LE phases, rebuild cadence, energy cadence) key on the
@@ -809,17 +816,28 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None):
     # half-skin budget (the displacement-triggered decide() would have
     # rebuilt there too, src/neighbor.cpp:1933).
     event_phases = [(f.nevery, f.phase) for f in event_fixes]
-    hot_windows = [
+    # ``reactive`` mode is the decide()/check_distance analog
+    # (src/neighbor.cpp:1933-1962): the skin monitor sets fs.skin_pend when
+    # displacement since rebuild crosses 0.75 * half-skin, and the NEXT
+    # step rebuilds (one-step lag absorbed by the 0.25 headroom).  The
+    # static cadence K then only backstops; spring-snap transients after LE
+    # events trigger their own rebuilds.  Under vmap a state-dependent cond
+    # predicate degrades to a both-branch select (rebuild cost every step),
+    # so vmapped/sharded callers pass reactive=False and get the pure
+    # step-scalar cadence plus blanket post-event hot windows instead.
+    hot_windows = [] if reactive else [
         (f.nevery, f.phase, min(150, max(f.nevery // 4, 1)))
         for f in event_fixes if isinstance(f, Extrusion)
     ]
 
-    def rebuild_due(sstep):
+    def rebuild_due(sstep, fs=None):
         due = (sstep % K) == 0
         for nev, ph in event_phases:
             due = due | ((sstep % nev) == ph)
         for nev, ph, w in hot_windows:
             due = due | (((sstep - ph) % nev) < w)
+        if reactive and fs is not None:
+            due = due | (fs.skin_pend > 0)
         return due
 
     def occupancy(fs):
@@ -892,15 +910,24 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None):
             gx=gx, gv=gv, gx_ref=gx, bid=bid, hn=hn, pid=pid,
             slot_of=slot_of, exl_slot=exl, exr_slot=exr, img=img,
             flags=fs.flags | overflow,
+            skin_pend=jnp.zeros((), jnp.int32),
         )
 
     def skin_check(fs):
+        """Post-step displacement monitor: sets the reactive rebuild
+        trigger at 0.75 * half-skin (served NEXT step — same one-step lag
+        as the in-kernel monitor so both engines stay in lockstep) and the
+        sticky error flag at the full half-skin bound."""
         d = fs.gx - fs.gx_ref
         valid = (fs.bid < n) & interior[None, :]
-        dsq = jnp.sum(d * d, axis=0)
-        bad = jnp.max(jnp.where(valid, dsq, 0.0)) > halfskin_sq
-        return fs.replace(flags=fs.flags | jnp.where(
-            bad, jnp.uint32(FLAG_SKIN_VIOLATION), jnp.uint32(0)))
+        dsq = jnp.max(jnp.where(valid, jnp.sum(d * d, axis=0), 0.0))
+        bad = dsq > halfskin_sq
+        fl = fs.flags | jnp.where(
+            bad, jnp.uint32(FLAG_SKIN_VIOLATION), jnp.uint32(0))
+        if not reactive:
+            return fs.replace(flags=fl)
+        return fs.replace(flags=fl, skin_pend=jnp.where(
+            dsq > 0.5625 * halfskin_sq, 1, 0).astype(jnp.int32))
 
     def forces(fs, sstep):
         energy_on = (sstep % energy_every) == 0
@@ -944,9 +971,10 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None):
         if event_updates:
             fs = apply_events(fs, sstep)
 
-        # neighbor maintenance (neighbor.cpp:1933 decide() analog)
+        # neighbor maintenance (neighbor.cpp:1933 decide() analog); the
+        # rebuild serves last step's trigger, then the monitor re-arms
+        fs = jax.lax.cond(rebuild_due(sstep, fs), rebuild, lambda fs: fs, fs)
         fs = skin_check(fs)
-        fs = jax.lax.cond(rebuild_due(sstep), rebuild, lambda fs: fs, fs)
         valid = vmask(fs)  # slot layout may have changed
 
         # halo refresh (comm_brick.cpp:452 forward_comm analog)
@@ -1076,7 +1104,7 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None):
                     bad, jnp.uint32(FLAG_SKIN_VIOLATION), jnp.uint32(0)))
 
         def step_pallas(fs: FastState, sstep, run_begin, run_end):
-            boundary = rebuild_due(sstep)
+            boundary = rebuild_due(sstep, fs)
             for nev, ph in event_phases:
                 boundary = boundary | ((sstep % nev) == ph)
 
@@ -1089,7 +1117,7 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None):
                 if event_updates:
                     fs = apply_events(fs, sstep)
                 return jax.lax.cond(
-                    rebuild_due(sstep), rebuild, lambda f: f, fs)
+                    rebuild_due(sstep, fs), rebuild, lambda f: f, fs)
 
             fs = jax.lax.cond(
                 boundary, slow_pre, lambda f: f.replace(step=sstep), fs)
@@ -1136,6 +1164,10 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None):
                     jnp.uint32(FLAG_SKIN_VIOLATION), jnp.uint32(0))
                 kw = dict(gx=gx1, gv=gv2, gf=ftot,
                           n_clamps=fs.n_clamps + clamps)
+                if reactive:
+                    # re-arm the decide() trigger from the in-kernel
+                    # monitor (stats row 6); served next step
+                    kw["skin_pend"] = (stats[6, 0] > 0.0).astype(jnp.int32)
                 if energy:
                     el = 0.5 * stats[0, 0]
                     eb = 0.5 * stats[1, 0] + eb_ex
@@ -1239,7 +1271,7 @@ def run_fast_replicas(sim, state: State, n_replicas: int, nsteps: int,
     real conds.  Returns (final FastStates stacked, wall-metric helper).
     """
     system = sim.system
-    segment, _ = make_fast_segment(sim)
+    segment, _ = make_fast_segment(sim, pallas=False, reactive=False)
     vseg = jax.jit(jax.vmap(segment, in_axes=(0, None, None, None, None)))
 
     def rep(seed_i, s):

@@ -339,8 +339,10 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         dyr = ox_ref[1] - gxr_ref[1]
         dzr = ox_ref[2] - gxr_ref[2]
         dsq = (dxr * dxr + dyr * dyr + dzr * dzr) * valid
-        skin_bad = jnp.where(
-            jnp.max(dsq) > halfskin_sq, 1.0, 0.0)
+        dmax = jnp.max(dsq)
+        skin_bad = jnp.where(dmax > halfskin_sq, 1.0, 0.0)
+        # reactive rebuild trigger at 0.75 * half-skin (engine.skin_check)
+        trig_bad = jnp.where(dmax > 0.5625 * halfskin_sq, 1.0, 0.0)
 
         hn = hn_ref[...]
         n_links = jnp.sum(valid * (hn > 0).astype(jnp.float32))
@@ -352,7 +354,8 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             jnp.full((1, 128), jnp.sum(sacc_ref[3:4, :]), jnp.float32),
             jnp.full((1, 128), n_links, jnp.float32),
             jnp.full((1, 128), skin_bad, jnp.float32),
-            jnp.zeros((2, 128), jnp.float32),
+            jnp.full((1, 128), trig_bad, jnp.float32),
+            jnp.zeros((1, 128), jnp.float32),
         ], axis=0)
         stats_ref[...] = stats
 

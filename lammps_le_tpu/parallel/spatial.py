@@ -80,7 +80,7 @@ def make_sharded_segment(sim, mesh: Mesh, sp_axis="sp"):
     # XLA step core: the fused Pallas kernel cannot run over GSPMD-sharded
     # planes (a pallas_call would force a gather); the XLA chain lets
     # GSPMD insert halo collectives
-    segment, _ = make_fast_segment(sim, pallas=False)
+    segment, _ = make_fast_segment(sim, pallas=False, reactive=False)
 
     def sharded(fs, step0, length, run_begin, run_end):
         out = segment(fs, step0, length, run_begin, run_end)
@@ -100,7 +100,7 @@ def make_replicated_sharded_segment(sim, mesh: Mesh, dp_axis="dp",
     """(dp x sp) segment: vmapped replicas over dp, cell slabs over sp."""
     from ..fast.engine import make_fast_segment
 
-    segment, _ = make_fast_segment(sim, pallas=False)  # see above
+    segment, _ = make_fast_segment(sim, pallas=False, reactive=False)
     vseg = jax.vmap(segment, in_axes=(0, None, None, None, None))
 
     def sharded(fs, step0, length, run_begin, run_end):
