@@ -183,6 +183,19 @@ class FastState:
     # check_distance analog, src/neighbor.cpp:1933-1962, with a one-step
     # lag the 0.75 factor absorbs)
     skin_pend: jax.Array = None
+    # Extruder-spring partition for the fused kernel (computed at rebuild;
+    # cells are frozen between rebuilds so stencil visibility is static
+    # per window):
+    #   ex_part () int32: 1 = partition valid — the kernel applies spring
+    #     forces to every pid-matched pair it can see (anchor cells
+    #     adjacent at rebuild) and the XLA gather/scatter pass covers ONLY
+    #     ``ex_far`` springs; 0 = legacy mode, XLA pass covers everything.
+    #   ex_far (E,) bool: anchor cells non-adjacent at rebuild (stretched
+    #     post-event springs, overflow-dropped anchors) — invisible to the
+    #     stencil, handled by the XLA pass.  Usually all-False, which lets
+    #     the per-step pass collapse to a cond'd no-op.
+    ex_part: jax.Array = None
+    ex_far: jax.Array = None
 
 
 # ---------------------------------------------------------------------------
@@ -667,6 +680,8 @@ def to_fast(state: State, sim) -> FastState:
         n_clamps=jnp.zeros((), jnp.int32) + clamps,
         last_event=state.last_event,
         skin_pend=jnp.zeros((), jnp.int32),
+        ex_part=jnp.zeros((), jnp.int32),
+        ex_far=state.ex_left >= 0,
     )
 
 
@@ -906,11 +921,41 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         (gx, gv, bid, hn, pid, slot_of, exl, exr, _, img, overflow) = _place(
             system, maps, x, v, fs.types, fs.ex_left, fs.ex_right, fs.img
         )
+        # spring-visibility partition for the in-kernel extruder pass (see
+        # FastState.ex_part/ex_far): EXACT anchor-cell adjacency from the
+        # placed slots — it must equal the stencil's pid-match visibility,
+        # else boundary springs double-count or drop
+        if sim.ex_btype > 0:
+            act = fs.ex_left >= 0
+            sx_, sy_, sz_ = maps.strides
+            nxyz = maps.nxyz
+
+            def cellco(slot):
+                col = jnp.where(slot < capP, slot % maps.P, 0)
+                ix = col // sx_
+                iy = (col % sx_) // sy_
+                iz = col % sy_ // sz_ if sz_ != 1 else col % sy_
+                return ix, iy, iz
+
+            cl = cellco(jnp.where(act, exl, 0))
+            cr = cellco(jnp.where(act, exr, 0))
+            far = jnp.zeros_like(act)
+            for (a, b, nax) in zip(cl, cr, nxyz):
+                dd = jnp.abs(a - b)
+                dd = jnp.minimum(dd, nax - dd)  # periodic cell distance
+                far = far | (dd > 1)
+            # overflow-dropped anchors never appear in the stencil
+            far = far | (exl >= capP) | (exr >= capP)
+            ex_far = act & far
+        else:
+            ex_far = jnp.zeros_like(fs.ex_left, bool)
         return fs.replace(
             gx=gx, gv=gv, gx_ref=gx, bid=bid, hn=hn, pid=pid,
             slot_of=slot_of, exl_slot=exl, exr_slot=exr, img=img,
             flags=fs.flags | overflow,
             skin_pend=jnp.zeros((), jnp.int32),
+            ex_part=jnp.ones((), jnp.int32),
+            ex_far=ex_far,
         )
 
     def skin_check(fs):
@@ -1037,16 +1082,17 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         box_d = jnp.asarray(np.asarray(system.box_size), dtype)
         zero_planes = jnp.zeros((3, maps.cap, maps.P), dtype)
 
-        def ex_force_planes(fs, do_drift):
+        def ex_force_planes(fs, do_drift, mask=None):
             """Extruder spring forces as dense planes + bond energy.
 
             Anchor positions are advanced by the SAME half-kick+drift the
             kernel will apply (scaled by ``do_drift``), so the spring acts
             on this step's x exactly like make_extruder_pass does.
+            ``mask``: restrict to this subset (the ex_far partition).
             """
             if sim.ex_btype <= 0:
                 return zero_planes, jnp.zeros((), dtype)
-            active = fs.ex_left >= 0
+            active = fs.ex_left >= 0 if mask is None else mask
             e = fs.exl_slot.shape[0]
             sl = jnp.where(active, fs.exl_slot, 0)
             sr = jnp.where(active, fs.exr_slot, 0)
@@ -1123,7 +1169,24 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
                 boundary, slow_pre, lambda f: f.replace(step=sstep), fs)
             do_drift = ~boundary
 
-            exf, eb_ex = ex_force_planes(fs, do_drift)
+            if sim.ex_btype > 0:
+                # partitioned mode: stencil-visible springs ride the dense
+                # kernel pass; the gather/scatter pass covers only ex_far
+                # springs and collapses to a no-op when there are none
+                # (real conds — this path is never vmapped)
+                act = fs.ex_left >= 0
+                need = jnp.where(fs.ex_part > 0, act & fs.ex_far, act)
+
+                def run_pass(fs, dd, need=need):
+                    return ex_force_planes(fs, dd, need)
+
+                exf, eb_ex = jax.lax.cond(
+                    jnp.any(need),
+                    run_pass,
+                    lambda fs, dd: (zero_planes, jnp.zeros((), dtype)),
+                    fs, do_drift)
+            else:
+                exf, eb_ex = ex_force_planes(fs, do_drift, None)
 
             if lf is not None:
                 key = jax.random.fold_in(
@@ -1150,7 +1213,8 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
                 gx1, gv2, ftot, stats = kernels[energy](
                     fs.gx, fs.gv, fs.gf, exf, fs.gx_ref,
                     fs.bid, fs.hn, fs.pid,
-                    sstep, do_drift, key_words, t_target)
+                    sstep, do_drift, key_words, t_target,
+                    ex_inkernel=fs.ex_part)
                 nb_found = stats[2, 0]
                 n_links = stats[4, 0]
                 clamps = (0.5 * stats[3, 0]).astype(jnp.int32)

@@ -150,6 +150,21 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     wca_floorsq = 0.5625 * sigf * sigf
     bond_reach_sq = (2.0 * system.neighbor.cell_size) ** 2
 
+    # extruder-spring coefficients for the in-kernel safe-window pass
+    # (bond_harmonic.cpp:48 / bond_fene.cpp:52; engine.ex_force_planes is
+    # the out-of-reach fallback)
+    if ex_btype > 0:
+        from ..system import BOND_HARMONIC as _BH
+
+        style_ex = int(np.asarray(system.bonds.style)[ex_btype - 1])
+        khe, r0he, epshe, sighe = (
+            float(c) for c in np.asarray(system.bonds.coeffs)[ex_btype - 1]
+        )
+        ex_harmonic = style_ex == _BH
+    else:
+        ex_harmonic = True
+        khe = r0he = epshe = sighe = 0.0
+
     units = system.units
     mass = float(np.asarray(system.masses).flat[0])
     dtf = 0.5 * dt * units.ftm2v
@@ -195,6 +210,9 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         only one body's temporaries live; the carry-based version spilled
         149 MB at 100k beads and ran out of VMEM."""
         drift_on = meta_ref[1]
+        # 1 = every active extruder spring is within stencil reach (checked
+        # at rebuild): springs ride the dense pass; 0 = XLA exf fallback
+        ex_on = (meta_ref[2] > 0).astype(jnp.float32)
         # per-Simulation scalars (SMEM): geometry stays the compile key
         sc_dt = sc_ref[0]
         sc_kick = sc_ref[1]
@@ -301,6 +319,42 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                                        4.0 * epsf * sr6 * (sr6 - 1.0) + epsf,
                                        0.0)),
                             axis=0, keepdims=True)
+                if has_ex:
+                    # extruder spring rides the dense pass when every
+                    # active spring is within reach (meta ex_on; each pair
+                    # is evaluated from both sides, so forces complete and
+                    # energies come out doubled like the rest — the engine
+                    # halves)
+                    w_s = jnp.where((Bj == pi) & nz_pair, int_i, 0.0) * ex_on
+                    rsq_s = jnp.maximum(rsq, 1e-8)
+                    if ex_harmonic:
+                        rinv = jax.lax.rsqrt(rsq_s)
+                        fb_s = -2.0 * khe * (1.0 - r0he * rinv)
+                        if energy:
+                            dr = 1.0 / jnp.maximum(rinv, 1e-8) - r0he
+                            sacc_ref[1:2, :] += jnp.sum(
+                                w_s * khe * dr * dr, axis=0, keepdims=True)
+                    else:
+                        rlog_s = jnp.maximum(
+                            1.0 - rsq_s / (r0he * r0he), 0.1)
+                        fb_s = -khe / rlog_s
+                        rsq_sw = jnp.maximum(rsq_s, 0.5625 * sighe * sighe)
+                        ssr2 = sighe * sighe / rsq_sw
+                        ssr6 = ssr2 * ssr2 * ssr2
+                        swca = rsq_s < 2.0 ** (1.0 / 3.0) * sighe * sighe
+                        fb_s = fb_s + jnp.where(
+                            swca, 48.0 * epshe * ssr6 * (ssr6 - 0.5) / rsq_sw,
+                            0.0)
+                        if energy:
+                            sacc_ref[1:2, :] += jnp.sum(
+                                w_s * (-0.5 * khe * r0he * r0he
+                                       * jnp.log(rlog_s)
+                                       + jnp.where(
+                                           swca,
+                                           4.0 * epshe * ssr6 * (ssr6 - 1.0)
+                                           + epshe, 0.0)),
+                                axis=0, keepdims=True)
+                    ffac = ffac + fb_s * w_s
                 facc_ref[0, i:i + 1, :] += jnp.sum(
                     dx * ffac, axis=0, keepdims=True)
                 facc_ref[1, i:i + 1, :] += jnp.sum(
@@ -391,14 +445,20 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     aux_arr = jnp.asarray(aux_np)
 
     def call(gx, gv, gf, exf, gxref, bid, hn, pid,
-             sstep, do_drift, key_words, t_target):
+             sstep, do_drift, key_words, t_target,
+             ex_inkernel=None):
         """key_words: (2,) uint32 step-folded PRNG words (engine step key).
 
         The threefry counter base (step*4, matching engine._uniform3) is
         appended here so all scalar plumbing stays uint32 in SMEM.
+        ``ex_inkernel``: scalar, 1 = springs ride the dense pass (and exf
+        must be zero planes); 0/None = exf carries the spring forces.
         """
+        if ex_inkernel is None:
+            ex_inkernel = jnp.zeros((), jnp.int32)
         meta = jnp.stack([sstep, do_drift.astype(jnp.int32),
-                          jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)])
+                          ex_inkernel.astype(jnp.int32),
+                          jnp.zeros((), jnp.int32)])
         keyw = jnp.stack([
             key_words[0], key_words[1],
             (sstep * 4).astype(jnp.uint32), jnp.zeros((), jnp.uint32),

@@ -126,3 +126,42 @@ def test_trajectory_and_events_parity(melt32):
     assert int(fx.flags) == int(fp.flags)
     # energies refreshed on the same cadence
     assert abs(float(fx.epair) - float(fp.epair)) < 0.1
+
+
+def test_inkernel_spring_safe_mode(melt32):
+    """When every spring is short at rebuild (ex_safe=1), the kernel
+    computes extruder forces in the dense pass and the XLA exf pass is
+    skipped — forces must still match the XLA chain's gather/scatter
+    extruder pass (engine.ex_force_planes / make_extruder_pass)."""
+    system, state = melt32
+    # place extruders at (i, i+1)-adjacent-ish beads? extruder bonds are
+    # (l, r) arbitrary; use (i, i+2) but SETTLE first so springs ~ r0
+    sim_settle = Simulation(
+        system=system, dt=0.004,
+        fixes=(NVE(), Langevin(1.0, 1.0, 2.0, seed=6)), ex_btype=2)
+    state2, _ = run_general(sim_settle, state, 120)
+    state2 = state2.replace(flags=jnp.zeros((), jnp.uint32))
+    # quiet sim: no extrusion moves, so settled springs STAY in adjacent
+    # cells and ride the kernel (an extrusion event stretches every spring
+    # ~2 beads outward — correctly classified far, covered by the
+    # trajectory parity test above)
+    sim = Simulation(
+        system=system, dt=0.005, energy_every=1,
+        fixes=(NVE(), Langevin(1.0, 1.0, 10.0, seed=904297),
+               ExUnload(nevery=50, btype=2, cutoff=9.0, fraction=0.0,
+                        seed=456456)),
+        ex_btype=2,
+    )
+
+    fx = _run_core(sim, state2, 6, pallas=False)
+    fp = _run_core(sim, state2, 6, pallas="interpret")
+    # the partition must be live, with at least one spring riding the
+    # kernel (settled springs sit in adjacent cells)
+    assert int(fp.ex_part) == 1
+    act = np.asarray(fp.ex_left) >= 0
+    assert bool((~np.asarray(fp.ex_far)[act]).any())
+    scale = float(jnp.max(jnp.abs(fx.gf)))
+    assert float(jnp.max(jnp.abs(fp.gf - fx.gf))) < 1e-4 * max(scale, 1.0)
+    assert float(jnp.max(jnp.abs(fp.gx - fx.gx))) < 1e-5
+    assert abs(float(fp.ebond) - float(fx.ebond)) < 5e-2
+    assert int(fp.flags) == int(fx.flags) == 0
