@@ -12,15 +12,18 @@ velocity-Verlet step into ONE ``pallas_call``:
     halo refresh       (6 face copies as lane-rolls + masked blends — the
                         in-VMEM analog of Comm::forward_comm,
                         src/comm_brick.cpp:452)
-    fused LJ+FENE+exclusion stencil over all 27 offsets
-                       (pair_lj_cut.cpp:68-141, bond_fene.cpp:52-128,
-                        force.cpp:787) — a ``fori_loop`` over offsets with
-                        DYNAMIC pltpu.roll shifts, so Mosaic compiles one
-                        small body instead of 27 unrolled copies (the
-                        round-2 unrolled kernel hung the remote compiler)
-    extruder-spring force add (precomputed dense planes from the XLA side —
-                        springs stretch beyond the stencil reach so their
-                        gather cannot ride the dense pass)
+    fused LJ+FENE+exclusion+spring Newton-half stencil (self + 13 offsets
+                        with rolled reaction accumulation and a ghost-force
+                        fold-back — pair_lj_cut.cpp:68-141 +
+                        npair_half_bin_newton.cpp + comm_brick.cpp:519,
+                        bond_fene.cpp:52-128, force.cpp:787) — a
+                        ``fori_loop`` over offsets with DYNAMIC pltpu.roll
+                        shifts, so Mosaic compiles one small body instead
+                        of unrolled copies (the round-2 unrolled kernel
+                        hung the remote compiler)
+    extruder springs    in the dense pass via the pid partner match for
+                        anchor cells adjacent at rebuild; the XLA side
+                        covers only the ex_far residue (engine.py)
     Langevin           (fix_langevin.cpp:654-674) with the same
                         counter-based threefry2x32 noise keyed by
                         (key, step, bead id) as engine._uniform3 —
@@ -189,11 +192,22 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             / units.ftm2v
         )
 
+    # Newton-half stencil (npair_half_bin_newton.cpp:35-160 in spirit):
+    # self cell + the 13 lexicographically-positive offsets; each half
+    # offset also accumulates the REACTION onto the j-side rows (rolled
+    # back by the forward cell shift), and ghost-accumulated reactions are
+    # folded onto their owner columns after the loop (reverse_comm,
+    # src/comm_brick.cpp:519).  Halves the offset loop: the kernel is
+    # VPU-bound at ~0.16 ms per offset (PERF_NOTES round-3 table).
+    half_offsets = [(0, 0, 0)] + [
+        o for o in _OFFSETS if o > (0, 0, 0)
+    ]
     deltas = np.array(
-        [(-(a * sx + b * sy + c * sz)) % P for (a, b, c) in _OFFSETS],
+        [(-(a * sx + b * sy + c * sz)) % P for (a, b, c) in half_offsets]
+        + [(a * sx + b * sy + c * sz) % P for (a, b, c) in half_offsets],
         np.int32,
     )
-    NOFF = len(_OFFSETS)
+    NOFF = len(half_offsets)
     aux_np, halo_shifts, box = make_halo_consts(system, maps)
     has_ex = ex_btype > 0
 
@@ -250,6 +264,13 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
 
         def offset_body(o, carry):
             d = d_ref[o]
+            rd = d_ref[o + NOFF]
+            # self cell (o=0): both pair orders iterate naturally — no
+            # reaction, unit energy weight.  Half offsets: reaction rows
+            # rolled onto the j columns, energies at weight 2 (the engine
+            # halves, matching the full-stencil convention).
+            react = jnp.where(o > 0, 1.0, 0.0).astype(jnp.float32)
+            wgt = 1.0 + react
             X = ox_ref[0]
             Y = ox_ref[1]
             Z = ox_ref[2]
@@ -289,7 +310,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                 ffac = r6 * (lj1 * r6 - lj2) * r2 * w_lj
                 if energy:
                     sacc_ref[0:1, :] += jnp.sum(
-                        (r6 * (lj3 * r6 - lj4) - offe) * w_lj,
+                        (wgt * (r6 * (lj3 * r6 - lj4) - offe)) * w_lj,
                         axis=0, keepdims=True)
                 if kf != 0.0:
                     in_reach = rsq < bond_reach_sq
@@ -307,12 +328,13 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                         wca, 48.0 * epsf * sr6 * (sr6 - 0.5) / rsq_w, 0.0
                     )
                     ffac = ffac + fb * w_b
-                    sacc_ref[2:3, :] += jnp.sum(w_b, axis=0, keepdims=True)
-                    sacc_ref[3:4, :] += jnp.sum(
+                    sacc_ref[2:3, :] += wgt * jnp.sum(
+                        w_b, axis=0, keepdims=True)
+                    sacc_ref[3:4, :] += wgt * jnp.sum(
                         jnp.where(cl, w_b, 0.0), axis=0, keepdims=True
                     )
                     if energy:
-                        sacc_ref[1:2, :] += jnp.sum(
+                        sacc_ref[1:2, :] += wgt * jnp.sum(
                             w_b * (-0.5 * kf * r0sq * jnp.log(rlog)
                                    + jnp.where(
                                        wca,
@@ -332,7 +354,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                         fb_s = -2.0 * khe * (1.0 - r0he * rinv)
                         if energy:
                             dr = 1.0 / jnp.maximum(rinv, 1e-8) - r0he
-                            sacc_ref[1:2, :] += jnp.sum(
+                            sacc_ref[1:2, :] += wgt * jnp.sum(
                                 w_s * khe * dr * dr, axis=0, keepdims=True)
                     else:
                         rlog_s = jnp.maximum(
@@ -346,7 +368,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                             swca, 48.0 * epshe * ssr6 * (ssr6 - 0.5) / rsq_sw,
                             0.0)
                         if energy:
-                            sacc_ref[1:2, :] += jnp.sum(
+                            sacc_ref[1:2, :] += wgt * jnp.sum(
                                 w_s * (-0.5 * khe * r0he * r0he
                                        * jnp.log(rlog_s)
                                        + jnp.where(
@@ -355,15 +377,35 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                                            + epshe, 0.0)),
                                 axis=0, keepdims=True)
                     ffac = ffac + fb_s * w_s
-                facc_ref[0, i:i + 1, :] += jnp.sum(
-                    dx * ffac, axis=0, keepdims=True)
-                facc_ref[1, i:i + 1, :] += jnp.sum(
-                    dy * ffac, axis=0, keepdims=True)
-                facc_ref[2, i:i + 1, :] += jnp.sum(
-                    dz * ffac, axis=0, keepdims=True)
+                cx = dx * ffac
+                cy = dy * ffac
+                cz = dz * ffac
+                facc_ref[0, i:i + 1, :] += jnp.sum(cx, axis=0, keepdims=True)
+                facc_ref[1, i:i + 1, :] += jnp.sum(cy, axis=0, keepdims=True)
+                facc_ref[2, i:i + 1, :] += jnp.sum(cz, axis=0, keepdims=True)
+                # Newton reaction onto the j rows, rolled to their columns
+                facc_ref[0, :, :] += (-react) * pltpu.roll(cx, rd, 1)
+                facc_ref[1, :, :] += (-react) * pltpu.roll(cy, rd, 1)
+                facc_ref[2, :, :] += (-react) * pltpu.roll(cz, rd, 1)
             return carry
 
         jax.lax.fori_loop(0, NOFF, offset_body, jnp.zeros((), jnp.int32))
+
+        # ---- reverse comm: fold ghost-accumulated reactions back onto
+        # their owner columns, reversing the refresh order (z -> y -> x,
+        # src/comm_brick.cpp:519 reverse_comm) ----
+        for axis in (2, 1, 0):
+            s_lo, s_hi = halo_shifts[axis]
+            m_lo = aux_ref[2 * axis:2 * axis + 1, :]
+            m_hi = aux_ref[2 * axis + 1:2 * axis + 2, :]
+            keep = 1.0 - m_lo - m_hi
+            for comp in range(3):
+                F = facc_ref[comp]
+                facc_ref[comp] = (
+                    F * keep
+                    + pltpu.roll(F * m_lo, (P - s_lo) % P, 1)
+                    + pltpu.roll(F * m_hi, (P - s_hi) % P, 1)
+                )
 
         # ---- post force: extruder springs + Langevin
         #      (fix_langevin.cpp:654-674) ----
