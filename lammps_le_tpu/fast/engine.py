@@ -962,17 +962,23 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         """Post-step displacement monitor: sets the reactive rebuild
         trigger at 0.75 * half-skin (served NEXT step — same one-step lag
         as the in-kernel monitor so both engines stay in lockstep) and the
-        sticky error flag at the full half-skin bound."""
+        sticky error flag on the PAIRWISE coverage bound: a pair can only
+        be missed when the two largest displacements sum past the full
+        skin margin (src/neighbor.cpp:1962 uses the same trigger at
+        half-skin per atom; flagging single-bead half-skin exceedance
+        would false-positive during the one-step reactive lag)."""
         d = fs.gx - fs.gx_ref
         valid = (fs.bid < n) & interior[None, :]
-        dsq = jnp.max(jnp.where(valid, jnp.sum(d * d, axis=0), 0.0))
-        bad = dsq > halfskin_sq
+        dsq = jnp.where(valid, jnp.sum(d * d, axis=0), 0.0)
+        m1 = jnp.max(dsq)
+        m2 = jnp.max(jnp.where(dsq == m1, 0.0, dsq))
+        bad = jnp.sqrt(m1) + jnp.sqrt(m2) > 2.0 * np.sqrt(halfskin_sq)
         fl = fs.flags | jnp.where(
             bad, jnp.uint32(FLAG_SKIN_VIOLATION), jnp.uint32(0))
         if not reactive:
             return fs.replace(flags=fl)
         return fs.replace(flags=fl, skin_pend=jnp.where(
-            dsq > 0.5625 * halfskin_sq, 1, 0).astype(jnp.int32))
+            m1 > 0.5625 * halfskin_sq, 1, 0).astype(jnp.int32))
 
     def forces(fs, sstep):
         energy_on = (sstep % energy_every) == 0
@@ -1137,13 +1143,16 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         def pre_skin_check(fs):
             # a violation whose first exceedance lands ON a boundary step
             # would be wiped by the rebuild before the kernel's monitor
-            # sees it — check the drifted positions here first
+            # sees it — check the drifted positions here first (pairwise
+            # coverage bound, see skin_check)
             valid = (fs.bid < n) & interior[None, :]
             gv1 = fs.gv + (dtf / mass) * fs.gf * vmask(fs)
             gx1 = fs.gx + dt * gv1 * vmask(fs)
             d = gx1 - fs.gx_ref
-            dsq = jnp.sum(d * d, axis=0)
-            bad = jnp.max(jnp.where(valid, dsq, 0.0)) > halfskin_sq
+            dsq = jnp.where(valid, jnp.sum(d * d, axis=0), 0.0)
+            m1 = jnp.max(dsq)
+            m2 = jnp.max(jnp.where(dsq == m1, 0.0, dsq))
+            bad = jnp.sqrt(m1) + jnp.sqrt(m2) > 2.0 * np.sqrt(halfskin_sq)
             return fs.replace(
                 gx=gx1, gv=gv1,
                 flags=fs.flags | jnp.where(

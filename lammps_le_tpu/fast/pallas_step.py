@@ -436,7 +436,12 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         dzr = ox_ref[2] - gxr_ref[2]
         dsq = (dxr * dxr + dyr * dyr + dzr * dzr) * valid
         dmax = jnp.max(dsq)
-        skin_bad = jnp.where(dmax > halfskin_sq, 1.0, 0.0)
+        # pairwise coverage bound: the two largest displacements summing
+        # past the full skin margin (engine.skin_check)
+        dmax2 = jnp.max(jnp.where(dsq == dmax, 0.0, dsq))
+        skin_bad = jnp.where(
+            jnp.sqrt(dmax) + jnp.sqrt(dmax2) > 2.0 * float(np.sqrt(halfskin_sq)),
+            1.0, 0.0)
         # reactive rebuild trigger at 0.75 * half-skin (engine.skin_check)
         trig_bad = jnp.where(dmax > 0.5625 * halfskin_sq, 1.0, 0.0)
 
