@@ -115,9 +115,19 @@ def main():
 
     # --- replica sweep: vmapped ensembles (BASELINE config 5) ---
     # R=1 runs the fused whole-step Pallas core un-vmapped (its SMEM
-    # scalar inputs cannot batch); R>1 vmaps the XLA chain
+    # scalar inputs cannot batch) with reactive rebuilds; R>1 vmaps the
+    # XLA chain, whose rebuild cond must stay step-scalar under vmap —
+    # it gets a static cadence-4 clone of the system (the reactive
+    # trigger cannot batch without degrading every cond to a select)
+    import dataclasses as _dc
+
     segment_p, _ = make_fast_segment(sim)
-    segment_x, _ = make_fast_segment(sim, pallas=False, reactive=False)
+    system_x = _dc.replace(
+        system, neighbor=_dc.replace(system.neighbor, rebuild_every=4))
+    sim_x = Simulation(system=system_x, dt=sim.dt,
+                       energy_every=sim.energy_every, fixes=sim.fixes,
+                       ex_btype=sim.ex_btype)
+    segment_x, _ = make_fast_segment(sim_x, pallas=False, reactive=False)
     results = {}
     sweep = [1, 2] if quick else [1, 4, 8]
     best = None

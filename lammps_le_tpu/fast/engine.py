@@ -179,7 +179,7 @@ class FastState:
     # semantics (fix_extrusion.cpp:1496-1501)
     last_event: jax.Array = None
     # () int32: 1 = displacement since rebuild crossed the reactive
-    # trigger (0.75 * half-skin); the next step rebuilds (the decide()/
+    # trigger (0.5 * half-skin); the next step rebuilds (the decide()/
     # check_distance analog, src/neighbor.cpp:1933-1962, with a one-step
     # lag the 0.75 factor absorbs)
     skin_pend: jax.Array = None
@@ -960,7 +960,7 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
 
     def skin_check(fs):
         """Post-step displacement monitor: sets the reactive rebuild
-        trigger at 0.75 * half-skin (served NEXT step — same one-step lag
+        trigger at 0.5 * half-skin (served NEXT step — same one-step lag
         as the in-kernel monitor so both engines stay in lockstep) and the
         sticky error flag on the PAIRWISE coverage bound: a pair can only
         be missed when the two largest displacements sum past the full
@@ -978,7 +978,7 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         if not reactive:
             return fs.replace(flags=fl)
         return fs.replace(flags=fl, skin_pend=jnp.where(
-            m1 > 0.5625 * halfskin_sq, 1, 0).astype(jnp.int32))
+            m1 > 0.25 * halfskin_sq, 1, 0).astype(jnp.int32))
 
     def forces(fs, sstep):
         energy_on = (sstep % energy_every) == 0

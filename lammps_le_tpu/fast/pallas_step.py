@@ -442,8 +442,8 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         skin_bad = jnp.where(
             jnp.sqrt(dmax) + jnp.sqrt(dmax2) > 2.0 * float(np.sqrt(halfskin_sq)),
             1.0, 0.0)
-        # reactive rebuild trigger at 0.75 * half-skin (engine.skin_check)
-        trig_bad = jnp.where(dmax > 0.5625 * halfskin_sq, 1.0, 0.0)
+        # reactive rebuild trigger at 0.5 * half-skin (engine.skin_check)
+        trig_bad = jnp.where(dmax > 0.25 * halfskin_sq, 1.0, 0.0)
 
         hn = hn_ref[...]
         n_links = jnp.sum(valid * (hn > 0).astype(jnp.float32))
