@@ -550,7 +550,14 @@ class DeckRunner:
             fix = ExUnload(nevery=int(rest[0]), btype=int(rest[1]),
                            cutoff=float(rest[2]), group=g, **kw)
         else:
-            raise DeckError(f"unsupported fix style {style}")
+            # registered extension styles (fixes/registry.py — the
+            # add_fix factory fallback, modify.cpp:789)
+            from ..fixes.registry import FIX_STYLES
+
+            st = FIX_STYLES.get(style)
+            if st is None or st.parse is None:
+                raise DeckError(f"unsupported fix style {style}")
+            fix = st.parse(g, rest)
         self.fixes[fid] = fix
         self._dirty = True
 

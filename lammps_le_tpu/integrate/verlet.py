@@ -176,6 +176,22 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
     event_fixes = [
         f for f in sim.fixes if isinstance(f, (Extrusion, ExLoad, ExUnload))
     ]
+    # registered extension styles (fixes/registry.py — the Modify plugin
+    # dispatch, modify.cpp:211-216): hooks compose into this traced step
+    from ..fixes.registry import custom_hooks, style_of
+
+    for f in sim.fixes:
+        if not isinstance(f, (NVE, NVELimit, Langevin, Extrusion, ExLoad,
+                              ExUnload)) and style_of(f) is None:
+            raise ValueError(
+                f"fix {type(f).__name__} is neither built-in nor a "
+                "registered fix style (fixes.registry.register_fix_style)")
+    cust_post_int = [(f, b(system, f))
+                     for f, b in custom_hooks(sim.fixes, "post_integrate")]
+    cust_post_force = [(f, b(system, f))
+                       for f, b in custom_hooks(sim.fixes, "post_force")]
+    cust_eos = [(f, b(system, f))
+                for f, b in custom_hooks(sim.fixes, "end_of_step")]
     if event_fixes:
         s12, s13, s14 = system.special_lj
         if s13 != 1.0 or s14 != 1.0:
@@ -284,6 +300,10 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
 
             state = jax.lax.cond(fire, do, lambda st: st, state)
 
+        # --- post integrate: registered extension hooks ---
+        for f, hook in cust_post_int:
+            state = hook(state, step_no)
+
         # --- neighbor maintenance ---
         state = _maybe_rebuild(state, system)
 
@@ -334,6 +354,10 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
             fl = gamma1 * state.v + gamma2 * noise
             f_total = f_total + (fl if gm is None else jnp.where(gm, fl, 0.0))
 
+        # --- post force: registered extension hooks ---
+        for f, hook in cust_post_force:
+            f_total = hook(state, f_total, step_no)
+
         # --- final integrate: half kick (fix_nve.cpp:108-140) ---
         v = state.v
         for f in nve_fixes:
@@ -353,13 +377,18 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
 
         finite = jnp.isfinite(fr.epair) & jnp.isfinite(fr.ebond)
         nf = jnp.where(finite, jnp.uint32(0), jnp.uint32(FLAG_NON_FINITE))
-        return state.replace(
+        state = state.replace(
             v=v,
             f=f_total,
             epair=fr.epair,
             ebond=fr.ebond,
             flags=state.flags | fr.flags | nf,
         )
+
+        # --- end of step: registered extension hooks (modify.cpp:481) ---
+        for f, hook in cust_eos:
+            state = hook(state, step_no)
+        return state
 
     return step
 

@@ -82,7 +82,9 @@ def _args(begin, n):
 def test_sp_sharded_step_equals_unsharded(melt):
     system, state = melt
     sim = _le_sim(system)
-    segment, _ = make_fast_segment(sim)
+    # match the sharded path's scheduling: reactive (state-dependent)
+    # rebuild triggers are disabled under GSPMD/vmap (spatial.py)
+    segment, _ = make_fast_segment(sim, pallas=False, reactive=False)
     nsteps = 20
 
     fs0 = to_fast(state, sim)
@@ -125,7 +127,9 @@ def test_dp_sp_mesh_replicas(melt):
     b, n, rb, re = _args(int(state.step), nsteps)
 
     # unsharded reference: plain vmap on one device
-    segment, _ = make_fast_segment(sim)
+    # match the sharded path's scheduling: reactive (state-dependent)
+    # rebuild triggers are disabled under GSPMD/vmap (spatial.py)
+    segment, _ = make_fast_segment(sim, pallas=False, reactive=False)
     vseg = jax.jit(jax.vmap(segment, in_axes=(0, None, None, None, None)))
     ref = vseg(fs, b, n, rb, re)
 
@@ -206,7 +210,9 @@ def test_sp4_equivalence_at_scale():
     state = state.replace(ex_left=jnp.asarray(left),
                           ex_right=jnp.asarray(right))
 
-    segment, _ = make_fast_segment(sim)
+    # match the sharded path's scheduling: reactive (state-dependent)
+    # rebuild triggers are disabled under GSPMD/vmap (spatial.py)
+    segment, _ = make_fast_segment(sim, pallas=False, reactive=False)
     b, nn, rb, re_ = _args(0, 6)
     ref = jax.jit(segment)(to_fast(state, sim), b, nn, rb, re_)
 
