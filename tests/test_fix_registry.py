@@ -121,9 +121,9 @@ pair_style lj/cut 1.12
 pair_coeff * * 1.0 1.0 1.12
 velocity all create 1.0 87287
 fix 1 all nve
-fix drag all viscous 0.8
+fix drag all viscous 5.0
 timestep 0.005
-run 40
+run 80
 """
     path = os.path.join(td, "in.deck")
     with open(path, "w") as fh:
@@ -131,12 +131,23 @@ run 40
     r = DeckRunner(dtype="float64", quiet=True, root=td)
     r.run_file(path)
     assert isinstance(r.fixes["drag"], Viscous)
-    assert r.fixes["drag"].gamma == 0.8
-    # drag with no thermostat: KE well below the initial T=1 equipartition
+    assert r.fixes["drag"].gamma == 5.0
+    assert style_of(r.fixes["drag"]).name == "viscous"
+    # the hook really acted: same deck without the drag fix ends hotter
+    # (the packed random-walk start releases potential energy; drag
+    # dissipates it)
+    r2 = DeckRunner(dtype="float64", quiet=True, root=td)
+    with open(path) as fh:
+        deck2 = fh.read().replace("fix drag all viscous 5.0\n", "")
+    path2 = os.path.join(td, "in2.deck")
+    with open(path2, "w") as fh:
+        fh.write(deck2)
+    r2.run_file(path2)
     from lammps_le_tpu.integrate.verlet import thermo_row
 
-    assert float(thermo_row(r.state, r.system).temp) < 0.5
-    assert style_of(r.fixes["drag"]).name == "viscous"
+    t_drag = float(thermo_row(r.state, r.system).temp)
+    t_free = float(thermo_row(r2.state, r2.system).temp)
+    assert np.isfinite(t_drag) and t_drag < 0.6 * t_free
 
 
 def test_fast_path_declines_custom_fix():
