@@ -762,7 +762,7 @@ def _pallas_step_mode(system, pallas):
 
 
 def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
-                      reactive: bool = True):
+                      reactive: bool = True, hot_window: int = None):
     """Build ``segment(fs, length) -> fs`` advancing ``length`` steps.
 
     Step gates (LE phases, rebuild cadence, energy cadence) key on the
@@ -841,7 +841,9 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
     # so vmapped/sharded callers pass reactive=False and get the pure
     # step-scalar cadence plus blanket post-event hot windows instead.
     hot_windows = [] if reactive else [
-        (f.nevery, f.phase, min(150, max(f.nevery // 4, 1)))
+        (f.nevery, f.phase,
+         hot_window if hot_window is not None
+         else min(150, max(f.nevery // 4, 1)))
         for f in event_fixes if isinstance(f, Extrusion)
     ]
 
