@@ -57,11 +57,15 @@ def main():
     )
     # cells are floored at the FENE clamp reach (system.make_neighbor_config
     # min_cell) so in-kernel bonds can never leave the stencil; rebuilds
-    # are reactive (decide()-analog skin trigger), cadence 40 backstops
+    # are reactive (decide()-analog skin trigger), cadence 40 backstops.
+    # skin 0.5 / cap 9 beat skin 0.3 / cap 8 on hardware (7.29 vs 9.07
+    # ms/step at r3 decomp): the fatter margin stretches reactive windows
+    # ~1.6x (5.3 vs 3.3 steps/launch) AND the coarser grid shrinks P,
+    # which more than pays for the extra cap row.
     system, _ = system_from_data(
         data, pair=pair, bonds=bonds, dtype="float32",
-        ex_btype=2, max_extruders=1024, skin=0.30, rebuild_every=40,
-        cell_cap=8,
+        ex_btype=2, max_extruders=1024, skin=0.50, rebuild_every=40,
+        cell_cap=9,
     )
     log(f"grid {system.neighbor.nx}^3 cell {system.neighbor.cell_size:.3f} "
         f"cap {system.neighbor.cell_cap}")

@@ -196,6 +196,23 @@ class FastState:
     #     the per-step pass collapse to a cond'd no-op.
     ex_part: jax.Array = None
     ex_far: jax.Array = None
+    # () int32 run counters (the reference prints neighbor-build counts in
+    # its Performance summary, src/finish.cpp): rebuilds since to_fast, and
+    # device launches on the multi-step pallas path (launches << steps is
+    # the amortization working; launches ~= steps means the reactive
+    # trigger is firing every step)
+    n_rebuilds: jax.Array = None
+    n_launches: jax.Array = None
+    # Cached block-spring tables for the fused kernel's vectorized
+    # extruder pass (_ex_block_table): recomputed only when anchor slots
+    # or the extruder table change (rebuild, LE events), NOT per launch.
+    # ex_fb = an ACTIVE spring has an overflow-dropped anchor: the
+    # kernel cannot see it, so the XLA exf fallback covers all springs
+    # and launches are capped at one step.
+    ex_tab: jax.Array = None     # (EPAD, 8) int32 sublane-major rows
+    ex_tabT: jax.Array = None    # (NBLK*8, EX_BLOCK) int32 lane-major
+    ex_nblk: jax.Array = None    # () int32 leading blocks holding springs
+    ex_fb: jax.Array = None      # () bool
 
 
 # ---------------------------------------------------------------------------
@@ -258,9 +275,14 @@ def fast_supported(sim) -> bool:
 # placement (rebuild) — sort + one scatter per dtype group
 
 
-def _place(system: System, maps: _FastMaps, x, v, types, ex_left, ex_right,
-           img):
-    """Bin beads into fresh planes.  Returns plane set + overflow flag."""
+def _place(system: System, maps: _FastMaps, x, v, f, types, ex_left,
+           ex_right, img):
+    """Bin beads into fresh planes.  Returns plane set + overflow flag.
+
+    Forces are re-placed alongside x/v: a rebuild may happen BETWEEN the
+    final half-kick of one step and the initial half-kick of the next
+    (the pre-drift trigger service), and that second kick consumes the
+    same forces — in the NEW slot layout."""
     n = system.n
     cap, P = maps.cap, maps.P
     dtype = x.dtype
@@ -296,16 +318,18 @@ def _place(system: System, maps: _FastMaps, x, v, types, ex_left, ex_right,
             for k in range(k_planes)
         ])
 
-    # one f32 scatter for x+v (6 components)
-    tgt6 = plane_targets(6)
-    vals6 = jnp.concatenate([x[:, 0], x[:, 1], x[:, 2],
-                             v[:, 0], v[:, 1], v[:, 2]])
-    flat6 = jnp.concatenate([
-        jnp.full((3 * capP,), _FAR, dtype), jnp.zeros((3 * capP,), dtype)
+    # one f32 scatter for x+v+f (9 components)
+    tgt9 = plane_targets(9)
+    vals9 = jnp.concatenate([x[:, 0], x[:, 1], x[:, 2],
+                             v[:, 0], v[:, 1], v[:, 2],
+                             f[:, 0], f[:, 1], f[:, 2]])
+    flat9 = jnp.concatenate([
+        jnp.full((3 * capP,), _FAR, dtype), jnp.zeros((6 * capP,), dtype)
     ])
-    flat6 = flat6.at[tgt6].set(vals6, mode="drop", unique_indices=True)
-    gx = flat6[: 3 * capP].reshape(3, cap, P)
-    gv = flat6[3 * capP:].reshape(3, cap, P)
+    flat9 = flat9.at[tgt9].set(vals9, mode="drop", unique_indices=True)
+    gx = flat9[: 3 * capP].reshape(3, cap, P)
+    gv = flat9[3 * capP: 6 * capP].reshape(3, cap, P)
+    gf = flat9[6 * capP:].reshape(3, cap, P)
 
     # one int scatter for bid + hn + pid (3 planes)
     nxt = jnp.asarray(system.next_bead)
@@ -331,7 +355,7 @@ def _place(system: System, maps: _FastMaps, x, v, types, ex_left, ex_right,
     gx = _halo_refresh(gx, maps)
 
     exl_slot, exr_slot = _ex_slots(slot_of, ex_left, ex_right)
-    return (gx, gv, bid, hn, pid, slot_of, exl_slot, exr_slot, x, img,
+    return (gx, gv, gf, bid, hn, pid, slot_of, exl_slot, exr_slot, x, img,
             overflow)
 
 
@@ -353,6 +377,53 @@ def _ex_slots(slot_of, ex_left, ex_right):
     ])
     slots = slot_of[both]
     return slots[:e], slots[e:]
+
+
+def _ex_epad(system):
+    """Padded spring-table height for the kernel's block spring pass."""
+    from .pallas_step import EX_BLOCK
+
+    return -(-max(system.max_extruders, 1) // EX_BLOCK) * EX_BLOCK
+
+
+def _ex_block_table(exl_slot, exr_slot, ex_left, capP, P, cap, epad):
+    """(tab, tabT, nblk, fallback) for the kernel's block spring pass.
+
+    ``tab`` is (epad, 8) int32 rows [l_row, l_col, r_row, r_col, active,
+    0, 0, 0] with ACTIVE springs compacted to the front (order-
+    preserving, so scatter-add order matches the XLA ex_pass).
+    ``tabT`` is the lane-major twin (nblk*8, EX_BLOCK): row 8b+f holds
+    field f of block b's springs as LANES — the kernel builds its
+    TRANSPOSED one-hots from these rows directly, because Mosaic can
+    neither transpose in-kernel nor concat ref slices whose offsets
+    differ ("offset mismatch on non-concat dimension").  The kernel
+    loops only the ``nblk`` leading blocks, so a sparsely-loaded table
+    costs nact, not capacity.  ``fallback``: an active spring's anchor
+    was overflow-dropped (slot >= capP — the bead never made it into
+    the grid): nblk is forced to 0 and the caller must route springs
+    through the XLA exf planes with single-step launches."""
+    from .pallas_step import EX_BLOCK
+
+    act = ex_left >= 0
+    in_grid = (exl_slot < capP) & (exr_slot < capP)
+    fallback = jnp.any(act & ~in_grid)
+    ok = act & in_grid
+    e = ok.shape[0]
+    idx = jnp.where(ok, size=e, fill_value=0)[0]
+    nok = jnp.sum(ok.astype(jnp.int32))
+    live = jnp.arange(e, dtype=jnp.int32) < nok
+    sl = jnp.where(live, exl_slot[idx], 0)
+    sr = jnp.where(live, exr_slot[idx], 0)
+    okf = (live & ~fallback).astype(jnp.int32)
+    z = jnp.zeros_like(okf)
+    tab = jnp.stack(
+        [sl // P, sl % P, sr // P, sr % P, okf, z, z, z], axis=1)
+    if epad - e:
+        tab = jnp.concatenate([tab, jnp.zeros((epad - e, 8), jnp.int32)])
+    tabT = tab.reshape(epad // EX_BLOCK, EX_BLOCK, 8).transpose(
+        0, 2, 1).reshape(-1, EX_BLOCK)
+    nblk = jnp.where(fallback, 0, -(-nok // EX_BLOCK)).astype(jnp.int32)
+    return tab, tabT, nblk, fallback
 
 
 def _halo_refresh(gx, maps: _FastMaps):
@@ -657,8 +728,8 @@ def to_fast(state: State, sim) -> FastState:
     and evaluate initial forces/energies (Verlet::setup analog)."""
     system = sim.system
     maps = fast_maps(system)
-    (gx, gv, bid, hn, pid, slot_of, exl, exr, x, img, overflow) = _place(
-        system, maps, state.x, state.v, state.type, state.ex_left,
+    (gx, gv, _, bid, hn, pid, slot_of, exl, exr, x, img, overflow) = _place(
+        system, maps, state.x, state.v, state.f, state.type, state.ex_left,
         state.ex_right, state.img,
     )
     kernel = select_kernel(system, maps, sim.ex_btype)
@@ -667,6 +738,9 @@ def to_fast(state: State, sim) -> FastState:
     if ex_pass is not None:
         gf, eb2 = ex_pass(gx, gf, exl, exr, state.ex_left >= 0, True)
         e_b = e_b + eb2
+    tab, tabT, nblk, ex_fb = _ex_block_table(
+        exl, exr, state.ex_left, maps.cap * maps.P, maps.P, maps.cap,
+        _ex_epad(system))
     return FastState(
         gx=gx, gv=gv, gf=gf, gx_ref=gx, bid=bid, hn=hn, pid=pid,
         slot_of=slot_of, exl_slot=exl, exr_slot=exr,
@@ -682,6 +756,9 @@ def to_fast(state: State, sim) -> FastState:
         skin_pend=jnp.zeros((), jnp.int32),
         ex_part=jnp.zeros((), jnp.int32),
         ex_far=state.ex_left >= 0,
+        n_rebuilds=jnp.zeros((), jnp.int32),
+        n_launches=jnp.zeros((), jnp.int32),
+        ex_tab=tab, ex_tabT=tabT, ex_nblk=nblk, ex_fb=ex_fb,
     )
 
 
@@ -833,8 +910,9 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
     event_phases = [(f.nevery, f.phase) for f in event_fixes]
     # ``reactive`` mode is the decide()/check_distance analog
     # (src/neighbor.cpp:1933-1962): the skin monitor sets fs.skin_pend when
-    # displacement since rebuild crosses 0.75 * half-skin, and the NEXT
-    # step rebuilds (one-step lag absorbed by the 0.25 headroom).  The
+    # any bead's PREDICTED next-step displacement |d| + |v|*dt crosses
+    # 0.85 * half-skin, and the NEXT step rebuilds (the one-step lag is
+    # covered by the velocity lookahead itself).  The
     # static cadence K then only backstops; spring-snap transients after LE
     # events trigger their own rebuilds.  Under vmap a state-dependent cond
     # predicate degrades to a both-branch select (rebuild cost every step),
@@ -913,15 +991,19 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         pid = pid_flat.reshape(maps.cap, maps.P)
         pid = pid[:, jnp.asarray(maps.src_cols)]
         exl, exr = _ex_slots(fs.slot_of, l, r)
+        tab, tabT, nblk, ex_fb = _ex_block_table(
+            exl, exr, l, capP, maps.P, maps.cap, _ex_epad(system))
         return fs.replace(
             ex_left=l, ex_right=r, types=types, pid=pid,
-            exl_slot=exl, exr_slot=exr, **kw
+            exl_slot=exl, exr_slot=exr,
+            ex_tab=tab, ex_tabT=tabT, ex_nblk=nblk, ex_fb=ex_fb, **kw
         )
 
     def rebuild(fs):
-        x, v, _ = _extract_beads(fs, system)
-        (gx, gv, bid, hn, pid, slot_of, exl, exr, _, img, overflow) = _place(
-            system, maps, x, v, fs.types, fs.ex_left, fs.ex_right, fs.img
+        x, v, f = _extract_beads(fs, system)
+        (gx, gv, gf, bid, hn, pid, slot_of, exl, exr, _, img,
+         overflow) = _place(
+            system, maps, x, v, f, fs.types, fs.ex_left, fs.ex_right, fs.img
         )
         # spring-visibility partition for the in-kernel extruder pass (see
         # FastState.ex_part/ex_far): EXACT anchor-cell adjacency from the
@@ -951,13 +1033,18 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
             ex_far = act & far
         else:
             ex_far = jnp.zeros_like(fs.ex_left, bool)
+        tab, tabT, nblk, ex_fb = _ex_block_table(
+            exl, exr, fs.ex_left, capP, maps.P, maps.cap,
+            _ex_epad(system))
         return fs.replace(
-            gx=gx, gv=gv, gx_ref=gx, bid=bid, hn=hn, pid=pid,
+            gx=gx, gv=gv, gf=gf, gx_ref=gx, bid=bid, hn=hn, pid=pid,
             slot_of=slot_of, exl_slot=exl, exr_slot=exr, img=img,
+            ex_tab=tab, ex_tabT=tabT, ex_nblk=nblk, ex_fb=ex_fb,
             flags=fs.flags | overflow,
             skin_pend=jnp.zeros((), jnp.int32),
             ex_part=jnp.ones((), jnp.int32),
             ex_far=ex_far,
+            n_rebuilds=fs.n_rebuilds + 1,
         )
 
     def skin_check(fs):
@@ -979,8 +1066,17 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
             bad, jnp.uint32(FLAG_SKIN_VIOLATION), jnp.uint32(0))
         if not reactive:
             return fs.replace(flags=fl)
+        # per-bead lookahead: the trigger is served with a one-step lag,
+        # so predict each bead's NEXT-step displacement exactly — the
+        # next drift moves by dt * (v + kick*f) — and trigger at 0.85 *
+        # half-skin.  A post-LE-event kick can eat the whole remaining
+        # margin in one step (the in-kernel monitor in pallas_step
+        # mirrors this exactly).
+        vn = fs.gv + (dtf / mass) * fs.gf
+        vsq = jnp.where(valid, jnp.sum(vn * vn, axis=0), 0.0)
+        pred = jnp.max(jnp.sqrt(dsq) + dt * jnp.sqrt(vsq))
         return fs.replace(flags=fl, skin_pend=jnp.where(
-            m1 > 0.25 * halfskin_sq, 1, 0).astype(jnp.int32))
+            pred > 0.85 * np.sqrt(halfskin_sq), 1, 0).astype(jnp.int32))
 
     def forces(fs, sstep):
         energy_on = (sstep % energy_every) == 0
@@ -1013,6 +1109,18 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         return ((fs.bid < n) & interior[None, :]).astype(dtype)[None]
 
     def step(fs: FastState, sstep, run_begin, run_end) -> FastState:
+        # Reactive mode services skin/cadence rebuilds BEFORE this step's
+        # drift (a deliberate deviation from verlet.cpp:187-225, which
+        # rebuilds post-integrate): a rebuild is a re-binning of the same
+        # phase-space point, so its order is only semantic for LE-event
+        # steps — and pre-drift servicing removes the one-step lag from
+        # the reactive trigger, making "displacement since rebuild never
+        # exceeds the 0.85*half-skin trigger point" a hard per-bead
+        # invariant (two beads then sum under the 2*half-skin pairwise
+        # coverage bound with lookahead-miss headroom to spare).
+        if reactive:
+            fs = jax.lax.cond(
+                rebuild_due(sstep, fs), rebuild, lambda fs: fs, fs)
         valid = vmask(fs)
 
         # initial integrate: half kick + drift (fix_nve.cpp:64-103)
@@ -1024,9 +1132,18 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         if event_updates:
             fs = apply_events(fs, sstep)
 
-        # neighbor maintenance (neighbor.cpp:1933 decide() analog); the
-        # rebuild serves last step's trigger, then the monitor re-arms
-        fs = jax.lax.cond(rebuild_due(sstep, fs), rebuild, lambda fs: fs, fs)
+        # neighbor maintenance (neighbor.cpp:1933 decide() analog):
+        # LE-event steps rebuild at post-integrate/post-event positions
+        # (verlet.cpp order); non-reactive mode keeps the legacy
+        # post-integrate rebuild for every due step
+        if reactive:
+            ev_b = jnp.zeros((), bool)
+            for nev, ph in event_phases:
+                ev_b = ev_b | ((sstep % nev) == ph)
+            fs = jax.lax.cond(ev_b, rebuild, lambda fs: fs, fs)
+        else:
+            fs = jax.lax.cond(
+                rebuild_due(sstep, fs), rebuild, lambda fs: fs, fs)
         fs = skin_check(fs)
         valid = vmask(fs)  # slot layout may have changed
 
@@ -1036,13 +1153,15 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         # force evaluation
         fs = forces(fs, sstep)
 
-        # post force: Langevin (fix_langevin.cpp:654-674)
+        # post force: Langevin (fix_langevin.cpp:654-674).  The key folds
+        # only the stream salt and seed — the STEP enters through the
+        # threefry counter inside _uniform3 (base = step*4 + component),
+        # so the stream is fully counter-based: the fused multi-step
+        # kernel draws bitwise-identical noise for any launch batching.
         gf = fs.gf
         if lf is not None:
             key = jax.random.fold_in(
-                jax.random.fold_in(
-                    jax.random.fold_in(fs.key, sstep), (4 << 20)
-                ),
+                jax.random.fold_in(fs.key, (4 << 20)),
                 lf.seed,
             )
             # t_start -> t_stop ramp over the run (fix_langevin.cpp:97-145:
@@ -1160,50 +1279,68 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
                 flags=fs.flags | jnp.where(
                     bad, jnp.uint32(FLAG_SKIN_VIOLATION), jnp.uint32(0)))
 
-        def step_pallas(fs: FastState, sstep, run_begin, run_end):
-            boundary = rebuild_due(sstep, fs)
+        def launch_pallas(fs: FastState, sstep, limit, run_begin, run_end):
+            """One device launch executing steps sstep..sstep+d-1 where
+            d <= limit (the in-kernel reactive trigger stops early).  The
+            FIRST step's boundary work (events, rebuild) runs in XLA; the
+            caller guarantees no later step of the launch is a boundary
+            (see the cadence-distance cap in ``segment``).  Returns
+            (fs, d)."""
+            # skin/cadence rebuilds are serviced BEFORE this step's drift
+            # (see the XLA chain's `step` for why: it makes the 0.85 *
+            # half-skin trigger point a hard per-bead displacement
+            # invariant); event steps ALSO rebuild here so the event's
+            # own pre_skin_check window is one step deep
+            fs = jax.lax.cond(
+                rebuild_due(sstep, fs), rebuild, lambda f: f, fs)
+
+            ev_b = jnp.zeros((), bool)
             for nev, ph in event_phases:
-                boundary = boundary | ((sstep % nev) == ph)
+                ev_b = ev_b | ((sstep % nev) == ph)
 
             def slow_pre(fs):
                 # XLA does this step's half-kick + drift so LE events and
-                # the rebuild see post-integrate positions (verlet.cpp
-                # order), then the kernel runs with drift flagged off
+                # the post-event rebuild see post-integrate positions
+                # (verlet.cpp order), then the kernel runs with drift
+                # flagged off
                 fs = pre_skin_check(fs)
                 fs = fs.replace(step=sstep)
                 if event_updates:
                     fs = apply_events(fs, sstep)
-                return jax.lax.cond(
-                    rebuild_due(sstep, fs), rebuild, lambda f: f, fs)
+                return rebuild(fs)
 
             fs = jax.lax.cond(
-                boundary, slow_pre, lambda f: f.replace(step=sstep), fs)
-            do_drift = ~boundary
+                ev_b, slow_pre, lambda f: f.replace(step=sstep), fs)
+            do_drift = ~ev_b
 
             if sim.ex_btype > 0:
-                # partitioned mode: stencil-visible springs ride the dense
-                # kernel pass; the gather/scatter pass covers only ex_far
-                # springs and collapses to a no-op when there are none
-                # (real conds — this path is never vmapped)
-                act = fs.ex_left >= 0
-                need = jnp.where(fs.ex_part > 0, act & fs.ex_far, act)
-
-                def run_pass(fs, dd, need=need):
-                    return ex_force_planes(fs, dd, need)
-
+                # the kernel's block spring pass covers every active
+                # spring each step from the CACHED tables (refreshed at
+                # rebuilds/events, which this launch's boundary already
+                # ran); the XLA gather/scatter planes exist ONLY for the
+                # overflow-dropped-anchor fallback (the caller then caps
+                # the launch at one step, the only span for which these
+                # planes are valid)
+                ex_in = (~fs.ex_fb).astype(jnp.int32)
+                # the boundary just above may have REFRESHED ex_fb (an
+                # overflow appearing at this rebuild): re-cap the span
+                # here, not only in segment's pre-launch estimate
+                limit = jnp.where(fs.ex_fb, jnp.minimum(limit, 1), limit)
                 exf, eb_ex = jax.lax.cond(
-                    jnp.any(need),
-                    run_pass,
+                    fs.ex_fb,
+                    lambda fs, dd: ex_force_planes(fs, dd, None),
                     lambda fs, dd: (zero_planes, jnp.zeros((), dtype)),
                     fs, do_drift)
             else:
+                ex_in = None
                 exf, eb_ex = ex_force_planes(fs, do_drift, None)
 
             if lf is not None:
+                # run-constant key: the step enters ONLY through the
+                # threefry counter (see the XLA-chain step above), which
+                # is what lets one launch batch several steps
                 key = jax.random.fold_in(
-                    jax.random.fold_in(
-                        jax.random.fold_in(fs.key, sstep), (4 << 20)
-                    ),
+                    jax.random.fold_in(fs.key, (4 << 20)),
                     lf.seed,
                 )
                 k0, k1 = _key_words(key)
@@ -1211,26 +1348,32 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
                 span = jnp.maximum((run_end - run_begin).astype(dtype), 1.0)
                 frac = jnp.clip(
                     (sstep - run_begin).astype(dtype) / span, 0.0, 1.0)
-                t_target = jnp.asarray(lf.t_start, dtype) + frac * (
-                    jnp.asarray(lf.t_stop, dtype)
-                    - jnp.asarray(lf.t_start, dtype))
+                dT = (jnp.asarray(lf.t_stop, dtype)
+                      - jnp.asarray(lf.t_start, dtype))
+                t_target = jnp.asarray(lf.t_start, dtype) + frac * dT
+                # per-step ramp slope inside the launch (steps after sstep
+                # stay within the run, so no clipping is needed mid-run)
+                t_slope = dT / span
             else:
                 key_words = jnp.zeros((2,), jnp.uint32)
                 t_target = jnp.ones((), dtype)
+                t_slope = jnp.zeros((), dtype)
 
             energy_on = (sstep % energy_every) == 0
 
-            def kcall(fs, energy):
+            def kcall(fs, energy, lim):
                 gx1, gv2, ftot, stats = kernels[energy](
                     fs.gx, fs.gv, fs.gf, exf, fs.gx_ref,
                     fs.bid, fs.hn, fs.pid,
                     sstep, do_drift, key_words, t_target,
-                    ex_inkernel=fs.ex_part)
-                nb_found = stats[2, 0]
-                n_links = stats[4, 0]
+                    ex_inkernel=ex_in, t_slope=t_slope, limit=lim,
+                    ex_tab=fs.ex_tab if sim.ex_btype > 0 else None,
+                    ex_tabT=fs.ex_tabT if sim.ex_btype > 0 else None,
+                    ex_nblk=fs.ex_nblk if sim.ex_btype > 0 else None)
+                d = stats[7, 0].astype(jnp.int32)
                 clamps = (0.5 * stats[3, 0]).astype(jnp.int32)
                 fl = jnp.where(
-                    0.5 * nb_found < n_links - 0.5,
+                    stats[2, 0] > 0.0,
                     jnp.uint32(FLAG_BOND_REACH), jnp.uint32(0))
                 fl = fl | jnp.where(
                     clamps > 0, jnp.uint32(FLAG_FENE_CLAMP), jnp.uint32(0))
@@ -1238,10 +1381,11 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
                     stats[5, 0] > 0.0,
                     jnp.uint32(FLAG_SKIN_VIOLATION), jnp.uint32(0))
                 kw = dict(gx=gx1, gv=gv2, gf=ftot,
-                          n_clamps=fs.n_clamps + clamps)
+                          n_clamps=fs.n_clamps + clamps,
+                          step=sstep + d - 1)
                 if reactive:
                     # re-arm the decide() trigger from the in-kernel
-                    # monitor (stats row 6); served next step
+                    # monitor (stats row 6); served next launch
                     kw["skin_pend"] = (stats[6, 0] > 0.0).astype(jnp.int32)
                 if energy:
                     el = 0.5 * stats[0, 0]
@@ -1250,26 +1394,82 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
                     fl = fl | jnp.where(
                         finite, jnp.uint32(0), jnp.uint32(FLAG_NON_FINITE))
                     kw.update(epair=el, ebond=eb)
-                return fs.replace(flags=fs.flags | fl, **kw)
+                return fs.replace(flags=fs.flags | fl, **kw), d
 
+            one = jnp.ones((), jnp.int32)
             if energy_every == 1:
-                return kcall(fs, True)
+                return kcall(fs, True, one)
+            # energy steps are always single-step launches: the energy
+            # rows in stats hold the LAST executed step's sums only
             return jax.lax.cond(
                 energy_on,
-                lambda fs: kcall(fs, True),
-                lambda fs: kcall(fs, False),
+                lambda fs: kcall(fs, True, one),
+                lambda fs: kcall(fs, False, limit),
                 fs,
             )
+
+        def step_pallas(fs: FastState, sstep, run_begin, run_end):
+            fs, _ = launch_pallas(fs, sstep, jnp.ones((), jnp.int32),
+                                  run_begin, run_end)
+            return fs
 
         step_core = step_pallas
     else:
         step_core = step
 
-    def segment(fs: FastState, step0, length, run_begin, run_end):
-        def body(i, fs):
-            return step_core(fs, step0 + i + 1, run_begin, run_end)
+    if mode and reactive:
+        # multi-step launches: batch up to LAUNCH_MAX steps per device
+        # launch, stopping at the next boundary-step candidate (static
+        # cadences — LE event phases, the rebuild backstop, energy steps)
+        # and letting the in-kernel trigger cut the run short when the
+        # half-skin budget demands a rebuild.  This amortizes the
+        # pallas_call launch floor AND the XLA-side scalar plumbing over
+        # ~LAUNCH_MAX steps (PERF_NOTES round-3: glue was ~40% of the
+        # step); the multi-step analog of Verlet::run's decide() gate.
+        LAUNCH_MAX = 16
+        cadences = list(event_phases) + [(K, 0)]
+        if energy_every > 1:
+            cadences.append((energy_every, 0))
+        else:
+            cadences.append((1, 0))  # energy every step: single-step only
 
-        return jax.lax.fori_loop(0, length, body, fs)
+        def segment(fs: FastState, step0, length, run_begin, run_end):
+            length = jnp.asarray(length, jnp.int32)
+
+            def cond(c):
+                return c[1] < length
+
+            def body(c):
+                fs, done = c
+                sstep = step0 + done + 1
+                lim = jnp.minimum(
+                    jnp.asarray(LAUNCH_MAX, jnp.int32), length - done)
+                for nev, ph in cadences:
+                    # distance from sstep to the NEXT step matching this
+                    # cadence; sstep itself matching is the launch's own
+                    # (XLA-handled) first step
+                    dist = (ph - sstep) % nev
+                    dist = jnp.where(dist == 0, nev, dist)
+                    lim = jnp.minimum(lim, dist)
+                if sim.ex_btype > 0:
+                    # the XLA exf fallback planes are only valid for the
+                    # first step: cap at 1 only when an active anchor was
+                    # overflow-dropped (the kernel's block spring pass
+                    # handles everything else itself)
+                    lim = jnp.where(fs.ex_fb, 1, lim)
+                fs, d = launch_pallas(fs, sstep, lim, run_begin, run_end)
+                fs = fs.replace(n_launches=fs.n_launches + 1)
+                return (fs, done + d)
+
+            fs, _ = jax.lax.while_loop(
+                cond, body, (fs, jnp.zeros((), jnp.int32)))
+            return fs
+    else:
+        def segment(fs: FastState, step0, length, run_begin, run_end):
+            def body(i, fs):
+                return step_core(fs, step0 + i + 1, run_begin, run_end)
+
+            return jax.lax.fori_loop(0, length, body, fs)
 
     return segment, step_core
 

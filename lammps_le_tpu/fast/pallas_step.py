@@ -1,14 +1,21 @@
-"""The fused whole-step Pallas kernel: ONE device launch per MD step.
+"""The fused multi-step Pallas kernel: ONE device launch per step RUN.
 
 Round-3 measurements (PERF_NOTES.md) show this chip-through-tunnel pays a
 0.3-1 ms floor per fori-loop iteration *regardless of the work inside*,
 while in-kernel vector work runs at ~1 T elem-op/s and ``pltpu.roll`` along
 lanes is free (<5 us even for 100 rolls).  The XLA fast path spends ~9 ms
 per 100k-bead step across ~6 fused regions; this kernel collapses a full
-velocity-Verlet step into ONE ``pallas_call``:
+velocity-Verlet step into ONE ``pallas_call`` — and then amortizes even
+that launch plus all the XLA-side scalar plumbing by running UP TO
+``limit`` consecutive steps inside a single launch (an in-kernel
+``lax.while_loop`` over steps), stopping early when the reactive skin
+trigger fires so the XLA driver can rebuild (the multi-step analog of
+Verlet::run's per-step decide() gate, src/verlet.cpp:223 +
+src/neighbor.cpp:1933).  Per executed step:
 
-    half-kick + drift  (flagged off on boundary steps where the XLA driver
-                        already integrated/rebuilt — fix_nve.cpp:64-103)
+    half-kick + drift  (flagged off on the FIRST step of a launch when the
+                        XLA driver already integrated/rebuilt on a boundary
+                        — fix_nve.cpp:64-103; later steps always drift)
     halo refresh       (6 face copies as lane-rolls + masked blends — the
                         in-VMEM analog of Comm::forward_comm,
                         src/comm_brick.cpp:452)
@@ -21,16 +28,31 @@ velocity-Verlet step into ONE ``pallas_call``:
                         shifts, so Mosaic compiles one small body instead
                         of unrolled copies (the round-2 unrolled kernel
                         hung the remote compiler)
-    extruder springs    in the dense pass via the pid partner match for
-                        anchor cells adjacent at rebuild; the XLA side
-                        covers only the ex_far residue (engine.py)
-    Langevin           (fix_langevin.cpp:654-674) with the same
-                        counter-based threefry2x32 noise keyed by
-                        (key, step, bead id) as engine._uniform3 —
-                        trajectories are BITWISE independent of slot layout
+    extruder springs    vectorized block pass: one-hot matmul gather of
+                        both anchors' same-step positions per EX_BLOCK
+                        springs, elementwise FENE/harmonic spring math,
+                        transpose-matmul scatter (fix_extrusion.cpp's
+                        bond force via bond_harmonic.cpp:48) — covers
+                        ALL active springs at any distance, so launches
+                        stay multi-step; the XLA exf fallback (capped at
+                        1 step) remains only for overflow-dropped anchors
+    Langevin           (fix_langevin.cpp:654-674) with counter-based
+                        threefry2x32 noise keyed by (run key, step, bead
+                        id): the STEP enters through the threefry counter
+                        (base = step*4 + component), never a per-step key
+                        fold, so consecutive steps inside one launch draw
+                        their own streams — trajectories are BITWISE
+                        independent of slot layout AND of how steps are
+                        batched into launches
     final half-kick    (fix_nve.cpp:108-140)
     skin monitor       (max displacement vs rebuild reference,
-                        src/neighbor.cpp:1948)
+                        src/neighbor.cpp:1948) — per-bead exact one-step
+                        lookahead |d| + dt*|v + kick*f| sets the
+                        early-stop flag at 0.85 * half-skin (the driver
+                        then rebuilds BEFORE the next step's drift, so
+                        the trigger point is a hard displacement bound)
+                        and the pairwise-coverage error bit at the full
+                        skin margin
 
 Physics is identical to engine.make_kernel + the XLA integrate chain
 (tests/test_pallas_step.py pins both in interpreter mode).  Stencil shift
@@ -40,8 +62,6 @@ i-columns, which the interior mask kills (see engine.py halo invariants).
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 
@@ -55,6 +75,22 @@ from ..ops.pair import _lj_tables
 from ..system import System
 
 _TF_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
+
+# Extruder-spring block width (springs per block) for the vectorized
+# in-kernel spring pass.  Production LE springs are LONG (tug-of-war
+# equilibrium vs the polymer: measured median 4.6 sigma ~ 3 cells at the
+# bench config), so ~90% sit beyond stencil reach at any time — spring
+# forces CANNOT ride the dense pid-match stencil, and per-spring scalar
+# loops are O(E * plane) = ms at E ~ 500.  Instead EX_BLOCK springs at a
+# time are gathered with one-hot matmuls (row mix (W,cap)@(cap,P) at
+# HIGHEST precision — exact for one-hots — then a lane-mask reduce),
+# spring math runs elementwise over the block, and +-f scatters back
+# through STANDARD-layout (cap,W)@(W,P) matmuls whose transposed
+# one-hots come from a lane-major table twin (a 6W-row batched variant
+# spilled 227 MB of Mosaic registers; dim-0-contraction scatters forced
+# relayouts).  O(E * P) total, no launch-span restriction.  32 springs
+# per block balances loop trips against (W, P) mask VMEM (~4 MB each).
+EX_BLOCK = 32
 
 
 def _threefry2x32(k0, k1, c0, c1):
@@ -119,12 +155,15 @@ def make_halo_consts(system: System, maps):
 def make_step_kernel(system: System, maps, ex_btype: int, *,
                      dt: float, langevin, energy: bool,
                      interpret: bool = False):
-    """Build the fused step kernel.
+    """Build the fused multi-step kernel.
 
     Returns ``call(gx, gv, gf, exf, gxref, bid, hn, pid, sstep, do_drift,
-    key_words, t_target) -> (gx1, gv2, ftot, stats)`` where stats rows are
-    [e_lj, e_b, nb_found, n_clamp, n_links, skin_bad, 0, 0] broadcast over
-    lanes (read stats[k, 0]).
+    key_words, t0, t_slope, limit) -> (gx1, gv2, ftot, stats)`` advancing
+    ``d`` = 1..limit steps (early-stopped by the reactive skin trigger) in
+    one device launch.  stats rows are [e_lj, e_b, nb_found, n_clamp,
+    n_links, skin_bad, trig, steps_done] broadcast over lanes (read
+    stats[k, 0]); e_lj/e_b are the LAST executed step's sums (callers gate
+    energy steps to limit=1 launches).
 
     ``dt`` and the Langevin coefficients enter through an SMEM scalar
     vector, NOT as baked constants: one Mosaic compile serves every
@@ -153,9 +192,12 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     wca_floorsq = 0.5625 * sigf * sigf
     bond_reach_sq = (2.0 * system.neighbor.cell_size) ** 2
 
-    # extruder-spring coefficients for the in-kernel safe-window pass
+    # extruder-spring coefficients for the in-kernel block spring pass
     # (bond_harmonic.cpp:48 / bond_fene.cpp:52; engine.ex_force_planes is
-    # the out-of-reach fallback)
+    # the overflow-dropped-anchor fallback)
+    E_tab = max(system.max_extruders, 1)
+    EPAD = -(-E_tab // EX_BLOCK) * EX_BLOCK
+    NBLK = EPAD // EX_BLOCK
     if ex_btype > 0:
         from ..system import BOND_HARMONIC as _BH
 
@@ -212,251 +254,393 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     has_ex = ex_btype > 0
 
     def kernel(d_ref, meta_ref, key_ref, sc_ref,
-               gx_ref_in, gv_ref, gf_ref, exf_ref, gxr_ref,
-               bid_ref, hn_ref, pid_ref, aux_ref,
+               tab_ref, tabT_ref, gx_ref_in, gv_ref, gf_ref, exf_ref,
+               gxr_ref, bid_ref, hn_ref, pid_ref, aux_ref,
                ox_ref, ov_ref, of_ref, stats_ref,
                facc_ref, sacc_ref):
         """VMEM discipline (the 100k lesson): every value that must live
         across the 27-offset fori goes through an explicit VMEM ref —
-        positions/velocities ride the output refs, force accumulators ride
-        ``facc_ref`` (3, cap, P) scratch, scalar tallies ride ``sacc_ref``
-        (4, P).  With an EMPTY loop carry Mosaic's register allocator keeps
-        only one body's temporaries live; the carry-based version spilled
-        149 MB at 100k beads and ran out of VMEM."""
-        drift_on = meta_ref[1]
-        # 1 = every active extruder spring is within stencil reach (checked
-        # at rebuild): springs ride the dense pass; 0 = XLA exf fallback
-        ex_on = (meta_ref[2] > 0).astype(jnp.float32)
+        positions/velocities/forces ride the output refs (iterated in
+        place across the step loop), force accumulators ride ``facc_ref``
+        (3, cap, P) scratch, per-step scalar tallies ride ``sacc_ref``
+        (4, P).  With an EMPTY offset-loop carry Mosaic's register
+        allocator keeps only one body's temporaries live; the carry-based
+        version spilled 149 MB at 100k beads and ran out of VMEM.  The
+        step while-loop carries SCALARS only (step index, stop flag,
+        cross-step tallies)."""
+        dflag0 = (meta_ref[1] > 0).astype(jnp.float32)
+        # meta[2] (ex_inkernel) is implied by meta[4]: ex_nblk > 0 means
+        # the block spring pass covers every active extruder spring
+        # (tab_ref rows); 0 = no springs OR the XLA exf fallback
+        # (overflow-dropped anchors — the driver then caps the launch at
+        # one step)
+        limit = meta_ref[3]
+        ex_nblk = meta_ref[4]
         # per-Simulation scalars (SMEM): geometry stays the compile key
         sc_dt = sc_ref[0]
         sc_kick = sc_ref[1]
         sc_g1 = sc_ref[2]
-        sc_g2 = sc_ref[3]
+        sc_g2b = sc_ref[3]
+        sc_t0 = sc_ref[4]
+        sc_tsl = sc_ref[5]
         interior = aux_ref[6:7, :]                      # (1, P)
-        dflag = (drift_on > 0).astype(jnp.float32)
+        bid = bid_ref[...]
+        valid = jnp.where(bid < n, interior, 0.0)
+        hn = hn_ref[...]
+        n_links = jnp.sum(valid * (hn > 0).astype(jnp.float32))
 
-        # ---- initial integrate: half kick + drift (flagged) ----
-        valid = jnp.where(bid_ref[...] < n, interior, 0.0)
+        # positions/velocities/forces iterate IN the output refs
         for k in range(3):
-            v1 = gv_ref[k] + (dflag * sc_kick) * gf_ref[k] * valid
-            ov_ref[k] = v1
-            ox_ref[k] = gx_ref_in[k] + (dflag * sc_dt) * v1 * valid
+            ox_ref[k] = gx_ref_in[k]
+            ov_ref[k] = gv_ref[k]
+            of_ref[k] = gf_ref[k]
 
-        # ---- halo refresh: 6 masked face blends (forward_comm) ----
-        for axis in range(3):
-            s_lo, s_hi = halo_shifts[axis]
-            m_lo = aux_ref[2 * axis:2 * axis + 1, :]
-            m_hi = aux_ref[2 * axis + 1:2 * axis + 2, :]
-            keep = 1.0 - m_lo - m_hi
-            L = float(box[axis])
-            for k in range(3):
-                cur = ox_ref[k]
-                src_lo = pltpu.roll(cur, s_lo, 1)
-                src_hi = pltpu.roll(cur, s_hi, 1)
-                if k == axis:
-                    src_lo = src_lo - L
-                    src_hi = src_hi + L
-                ox_ref[k] = cur * keep + src_lo * m_lo + src_hi * m_hi
-
-        # ---- fused stencil: LJ + FENE + exclusions over 27 offsets ----
-        facc_ref[...] = jnp.zeros((3, cap, P), jnp.float32)
-        sacc_ref[...] = jnp.zeros((4, P), jnp.float32)
-
-        def offset_body(o, carry):
-            d = d_ref[o]
-            rd = d_ref[o + NOFF]
-            # self cell (o=0): both pair orders iterate naturally — no
-            # reaction, unit energy weight.  Half offsets: reaction rows
-            # rolled onto the j columns, energies at weight 2 (the engine
-            # halves, matching the full-stencil convention).
-            react = jnp.where(o > 0, 1.0, 0.0).astype(jnp.float32)
-            wgt = 1.0 + react
-            X = ox_ref[0]
-            Y = ox_ref[1]
-            Z = ox_ref[2]
-            bid = bid_ref[...]
-            hn = hn_ref[...]
-            Xj = pltpu.roll(X, d, 1)
-            Yj = pltpu.roll(Y, d, 1)
-            Zj = pltpu.roll(Z, d, 1)
-            Bj = pltpu.roll(bid, d, 1)
-            Hj = pltpu.roll(hn, d, 1)
-            for i in range(cap):
-                xi = X[i:i + 1, :]
-                yi = Y[i:i + 1, :]
-                zi = Z[i:i + 1, :]
-                bi = bid[i:i + 1, :]
-                hi = hn[i:i + 1, :]
-                pi = pid_ref[i:i + 1, :]
-                int_i = jnp.where(bi < n, interior, 0.0)
-
-                dx = xi - Xj
-                dy = yi - Yj
-                dz = zi - Zj
-                rsq = dx * dx + dy * dy + dz * dz
-                nz_pair = rsq > 0.0
-
-                bonded = ((Bj == bi + 1) & (hi > 0)) | \
-                         ((bi == Bj + 1) & (Hj > 0))
-                excl = bonded | (Bj == pi)
-
-                in_cut = rsq < cutsq
-                w_lj = jnp.where(in_cut & nz_pair & (~excl), int_i, 0.0)
-                rsq_lj = jnp.maximum(
-                    jnp.where(in_cut & nz_pair, rsq, 1.0), floorsq
-                )
-                r2 = 1.0 / rsq_lj
-                r6 = r2 * r2 * r2
-                ffac = r6 * (lj1 * r6 - lj2) * r2 * w_lj
-                if energy:
-                    sacc_ref[0:1, :] += jnp.sum(
-                        (wgt * (r6 * (lj3 * r6 - lj4) - offe)) * w_lj,
-                        axis=0, keepdims=True)
-                if kf != 0.0:
-                    in_reach = rsq < bond_reach_sq
-                    w_b = jnp.where(bonded & nz_pair & in_reach, int_i, 0.0)
-                    rsq_b = jnp.where(bonded & nz_pair, rsq, 1.0)
-                    rlog = 1.0 - rsq_b / r0sq
-                    cl = rlog < 0.1
-                    rlog = jnp.where(cl, 0.1, rlog)
-                    fb = -kf / rlog
-                    rsq_w = jnp.maximum(rsq_b, wca_floorsq)
-                    sr2 = sigf * sigf / rsq_w
-                    sr6 = sr2 * sr2 * sr2
-                    wca = rsq_b < wca_cutsq
-                    fb = fb + jnp.where(
-                        wca, 48.0 * epsf * sr6 * (sr6 - 0.5) / rsq_w, 0.0
-                    )
-                    ffac = ffac + fb * w_b
-                    sacc_ref[2:3, :] += wgt * jnp.sum(
-                        w_b, axis=0, keepdims=True)
-                    sacc_ref[3:4, :] += wgt * jnp.sum(
-                        jnp.where(cl, w_b, 0.0), axis=0, keepdims=True
-                    )
-                    if energy:
-                        sacc_ref[1:2, :] += wgt * jnp.sum(
-                            w_b * (-0.5 * kf * r0sq * jnp.log(rlog)
-                                   + jnp.where(
-                                       wca,
-                                       4.0 * epsf * sr6 * (sr6 - 1.0) + epsf,
-                                       0.0)),
-                            axis=0, keepdims=True)
-                if has_ex:
-                    # extruder spring rides the dense pass when every
-                    # active spring is within reach (meta ex_on; each pair
-                    # is evaluated from both sides, so forces complete and
-                    # energies come out doubled like the rest — the engine
-                    # halves)
-                    w_s = jnp.where((Bj == pi) & nz_pair, int_i, 0.0) * ex_on
-                    rsq_s = jnp.maximum(rsq, 1e-8)
-                    if ex_harmonic:
-                        rinv = jax.lax.rsqrt(rsq_s)
-                        fb_s = -2.0 * khe * (1.0 - r0he * rinv)
-                        if energy:
-                            dr = 1.0 / jnp.maximum(rinv, 1e-8) - r0he
-                            sacc_ref[1:2, :] += wgt * jnp.sum(
-                                w_s * khe * dr * dr, axis=0, keepdims=True)
-                    else:
-                        rlog_s = jnp.maximum(
-                            1.0 - rsq_s / (r0he * r0he), 0.1)
-                        fb_s = -khe / rlog_s
-                        rsq_sw = jnp.maximum(rsq_s, 0.5625 * sighe * sighe)
-                        ssr2 = sighe * sighe / rsq_sw
-                        ssr6 = ssr2 * ssr2 * ssr2
-                        swca = rsq_s < 2.0 ** (1.0 / 3.0) * sighe * sighe
-                        fb_s = fb_s + jnp.where(
-                            swca, 48.0 * epshe * ssr6 * (ssr6 - 0.5) / rsq_sw,
-                            0.0)
-                        if energy:
-                            sacc_ref[1:2, :] += wgt * jnp.sum(
-                                w_s * (-0.5 * khe * r0he * r0he
-                                       * jnp.log(rlog_s)
-                                       + jnp.where(
-                                           swca,
-                                           4.0 * epshe * ssr6 * (ssr6 - 1.0)
-                                           + epshe, 0.0)),
-                                axis=0, keepdims=True)
-                    ffac = ffac + fb_s * w_s
-                cx = dx * ffac
-                cy = dy * ffac
-                cz = dz * ffac
-                facc_ref[0, i:i + 1, :] += jnp.sum(cx, axis=0, keepdims=True)
-                facc_ref[1, i:i + 1, :] += jnp.sum(cy, axis=0, keepdims=True)
-                facc_ref[2, i:i + 1, :] += jnp.sum(cz, axis=0, keepdims=True)
-                # Newton reaction onto the j rows, rolled to their columns
-                facc_ref[0, :, :] += (-react) * pltpu.roll(cx, rd, 1)
-                facc_ref[1, :, :] += (-react) * pltpu.roll(cy, rd, 1)
-                facc_ref[2, :, :] += (-react) * pltpu.roll(cz, rd, 1)
-            return carry
-
-        jax.lax.fori_loop(0, NOFF, offset_body, jnp.zeros((), jnp.int32))
-
-        # ---- reverse comm: fold ghost-accumulated reactions back onto
-        # their owner columns, reversing the refresh order (z -> y -> x,
-        # src/comm_brick.cpp:519 reverse_comm) ----
-        for axis in (2, 1, 0):
-            s_lo, s_hi = halo_shifts[axis]
-            m_lo = aux_ref[2 * axis:2 * axis + 1, :]
-            m_hi = aux_ref[2 * axis + 1:2 * axis + 2, :]
-            keep = 1.0 - m_lo - m_hi
-            for comp in range(3):
-                F = facc_ref[comp]
-                facc_ref[comp] = (
-                    F * keep
-                    + pltpu.roll(F * m_lo, (P - s_lo) % P, 1)
-                    + pltpu.roll(F * m_hi, (P - s_hi) % P, 1)
-                )
-
-        # ---- post force: extruder springs + Langevin
-        #      (fix_langevin.cpp:654-674) ----
         if lan is not None:
             k0 = key_ref[0]
             k1 = key_ref[1]
-            base = key_ref[2]  # step*4 as uint32, computed by the caller
+            base0 = key_ref[2]  # sstep*4 as uint32, computed by the caller
             scale = 1.0 / 16777216.0
-        bid = bid_ref[...]
-        valid = jnp.where(bid < n, interior, 0.0)
-        for comp in range(3):
-            f = facc_ref[comp]
+
+        def step_body(carry):
+            (s, stopped, clamps_tot, reach_bad, skin_bad, trig) = carry
+            # drift is off only on a boundary first step (XLA integrated)
+            sf = (s > 0).astype(jnp.float32)
+            dflag = jnp.maximum(dflag0, sf)
+
+            # ---- initial integrate: half kick + drift ----
+            for k in range(3):
+                v1 = ov_ref[k] + (dflag * sc_kick) * of_ref[k] * valid
+                ov_ref[k] = v1
+                ox_ref[k] = ox_ref[k] + (dflag * sc_dt) * v1 * valid
+
+            # ---- halo refresh: 6 masked face blends (forward_comm) ----
+            for axis in range(3):
+                s_lo, s_hi = halo_shifts[axis]
+                m_lo = aux_ref[2 * axis:2 * axis + 1, :]
+                m_hi = aux_ref[2 * axis + 1:2 * axis + 2, :]
+                keep = 1.0 - m_lo - m_hi
+                L = float(box[axis])
+                for k in range(3):
+                    cur = ox_ref[k]
+                    src_lo = pltpu.roll(cur, s_lo, 1)
+                    src_hi = pltpu.roll(cur, s_hi, 1)
+                    if k == axis:
+                        src_lo = src_lo - L
+                        src_hi = src_hi + L
+                    ox_ref[k] = cur * keep + src_lo * m_lo + src_hi * m_hi
+
+            # ---- fused stencil: LJ + FENE + exclusions, Newton-half ----
+            facc_ref[...] = jnp.zeros((3, cap, P), jnp.float32)
+            sacc_ref[...] = jnp.zeros((4, P), jnp.float32)
+
+            def offset_body(o, carry):
+                d = d_ref[o]
+                rd = d_ref[o + NOFF]
+                # self cell (o=0): both pair orders iterate naturally — no
+                # reaction, unit energy weight.  Half offsets: reaction
+                # rows rolled onto the j columns, energies at weight 2
+                # (the engine halves, matching the full-stencil
+                # convention).
+                react = jnp.where(o > 0, 1.0, 0.0).astype(jnp.float32)
+                wgt = 1.0 + react
+                X = ox_ref[0]
+                Y = ox_ref[1]
+                Z = ox_ref[2]
+                Xj = pltpu.roll(X, d, 1)
+                Yj = pltpu.roll(Y, d, 1)
+                Zj = pltpu.roll(Z, d, 1)
+                Bj = pltpu.roll(bid, d, 1)
+                Hj = pltpu.roll(hn, d, 1)
+                # Newton reactions for ALL i-rows share this offset's
+                # roll shift: accumulate them across the i loop and roll
+                # ONCE per component (was per-i — 24 full-plane rolls and
+                # adds per offset, ~20% of the stencil cost)
+                rax = jnp.zeros((cap, P), jnp.float32)
+                ray = jnp.zeros((cap, P), jnp.float32)
+                raz = jnp.zeros((cap, P), jnp.float32)
+                for i in range(cap):
+                    xi = X[i:i + 1, :]
+                    yi = Y[i:i + 1, :]
+                    zi = Z[i:i + 1, :]
+                    bi = bid[i:i + 1, :]
+                    hi = hn[i:i + 1, :]
+                    pi = pid_ref[i:i + 1, :]
+                    int_i = jnp.where(bi < n, interior, 0.0)
+
+                    dx = xi - Xj
+                    dy = yi - Yj
+                    dz = zi - Zj
+                    rsq = dx * dx + dy * dy + dz * dz
+                    nz_pair = rsq > 0.0
+
+                    bonded = ((Bj == bi + 1) & (hi > 0)) | \
+                             ((bi == Bj + 1) & (Hj > 0))
+                    excl = bonded | (Bj == pi)
+
+                    in_cut = rsq < cutsq
+                    w_lj = jnp.where(in_cut & nz_pair & (~excl), int_i, 0.0)
+                    rsq_lj = jnp.maximum(
+                        jnp.where(in_cut & nz_pair, rsq, 1.0), floorsq
+                    )
+                    r2 = 1.0 / rsq_lj
+                    r6 = r2 * r2 * r2
+                    ffac = r6 * (lj1 * r6 - lj2) * r2 * w_lj
+                    if energy:
+                        sacc_ref[0:1, :] += jnp.sum(
+                            (wgt * (r6 * (lj3 * r6 - lj4) - offe)) * w_lj,
+                            axis=0, keepdims=True)
+                    if kf != 0.0:
+                        in_reach = rsq < bond_reach_sq
+                        w_b = jnp.where(
+                            bonded & nz_pair & in_reach, int_i, 0.0)
+                        rsq_b = jnp.where(bonded & nz_pair, rsq, 1.0)
+                        rlog = 1.0 - rsq_b / r0sq
+                        cl = rlog < 0.1
+                        rlog = jnp.where(cl, 0.1, rlog)
+                        fb = -kf / rlog
+                        rsq_w = jnp.maximum(rsq_b, wca_floorsq)
+                        sr2 = sigf * sigf / rsq_w
+                        sr6 = sr2 * sr2 * sr2
+                        wca = rsq_b < wca_cutsq
+                        fb = fb + jnp.where(
+                            wca, 48.0 * epsf * sr6 * (sr6 - 0.5) / rsq_w, 0.0
+                        )
+                        ffac = ffac + fb * w_b
+                        sacc_ref[2:3, :] += wgt * jnp.sum(
+                            w_b, axis=0, keepdims=True)
+                        sacc_ref[3:4, :] += wgt * jnp.sum(
+                            jnp.where(cl, w_b, 0.0), axis=0, keepdims=True
+                        )
+                        if energy:
+                            sacc_ref[1:2, :] += wgt * jnp.sum(
+                                w_b * (-0.5 * kf * r0sq * jnp.log(rlog)
+                                       + jnp.where(
+                                           wca,
+                                           4.0 * epsf * sr6 * (sr6 - 1.0)
+                                           + epsf,
+                                           0.0)),
+                                axis=0, keepdims=True)
+                    cx = dx * ffac
+                    cy = dy * ffac
+                    cz = dz * ffac
+                    facc_ref[0, i:i + 1, :] += jnp.sum(
+                        cx, axis=0, keepdims=True)
+                    facc_ref[1, i:i + 1, :] += jnp.sum(
+                        cy, axis=0, keepdims=True)
+                    facc_ref[2, i:i + 1, :] += jnp.sum(
+                        cz, axis=0, keepdims=True)
+                    rax = rax + cx
+                    ray = ray + cy
+                    raz = raz + cz
+                # Newton reaction onto the j rows, rolled to their columns
+                facc_ref[0, :, :] += (-react) * pltpu.roll(rax, rd, 1)
+                facc_ref[1, :, :] += (-react) * pltpu.roll(ray, rd, 1)
+                facc_ref[2, :, :] += (-react) * pltpu.roll(raz, rd, 1)
+                return carry
+
+            jax.lax.fori_loop(
+                0, NOFF, offset_body, jnp.zeros((), jnp.int32))
+
+            # ---- reverse comm: fold ghost-accumulated reactions back
+            # onto their owner columns, reversing the refresh order
+            # (z -> y -> x, src/comm_brick.cpp:519 reverse_comm) ----
+            for axis in (2, 1, 0):
+                s_lo, s_hi = halo_shifts[axis]
+                m_lo = aux_ref[2 * axis:2 * axis + 1, :]
+                m_hi = aux_ref[2 * axis + 1:2 * axis + 2, :]
+                keep = 1.0 - m_lo - m_hi
+                for comp in range(3):
+                    F = facc_ref[comp]
+                    facc_ref[comp] = (
+                        F * keep
+                        + pltpu.roll(F * m_lo, (P - s_lo) % P, 1)
+                        + pltpu.roll(F * m_hi, (P - s_hi) % P, 1)
+                    )
+
+            # ---- extruder springs: vectorized block pass (ALL active
+            # springs, near or far — the analog of the XLA
+            # ex_force_planes pass, bitwise-mirrored math).  Per
+            # EX_BLOCK-spring block, BOTH anchors x all 3 components are
+            # batched as 6W one-hot rows so the whole block is exactly
+            # TWO standard-layout matmuls — one gather (6W, 3cap) @
+            # (3cap, P) and one scatter (3cap, 6W) @ (6W, P) — plus
+            # (6W, P)-shaped mask work.  (The first cut did 12 small
+            # dots per block, half of them dim-0 contractions that
+            # forced Mosaic relayouts: 2.5 ms/step at E=500.  The
+            # transposed one-hot comes from tabT_ref, so no in-kernel
+            # transposes exist at all.)  O(E * P) per step, valid for
+            # every step of a multi-step launch. ----
             if has_ex:
-                f = f + exf_ref[comp]
+                # HIGHEST (bf16x6) — exact f32; Mosaic's dot lowering
+                # accepts only DEFAULT/HIGHEST, and DEFAULT truncates
+                # positions to bf16 (gathers must be bit-exact)
+                hp = jax.lax.Precision.HIGHEST
+                rows_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (EX_BLOCK, cap), 1)
+                rowsT_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (cap, EX_BLOCK), 0)
+                lane_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (EX_BLOCK, P), 1)
+
+                @pl.when(ex_nblk > 0)
+                def _spring_pass():
+                    def blk(b, carry):
+                        t = tab_ref[pl.ds(b * EX_BLOCK, EX_BLOCK), :]
+                        tT = tabT_ref[pl.ds(b * 8, 8), :]
+                        A_l = (rows_i == t[:, 0:1]).astype(jnp.float32)
+                        M_l = (lane_i == t[:, 1:2]).astype(jnp.float32)
+                        A_r = (rows_i == t[:, 2:3]).astype(jnp.float32)
+                        M_r = (lane_i == t[:, 3:4]).astype(jnp.float32)
+                        am = t[:, 4:5].astype(jnp.float32)
+                        dd = []
+                        for c in range(3):
+                            xl = jnp.sum(
+                                jnp.dot(A_l, ox_ref[c], precision=hp)
+                                * M_l, axis=1, keepdims=True)
+                            xr = jnp.sum(
+                                jnp.dot(A_r, ox_ref[c], precision=hp)
+                                * M_r, axis=1, keepdims=True)
+                            L = float(box[c])
+                            dc = xl - xr
+                            dd.append(dc - L * jnp.round(dc / L))
+                        rsq_s = jnp.maximum(
+                            dd[0] * dd[0] + dd[1] * dd[1] + dd[2] * dd[2],
+                            1e-12)
+                        if ex_harmonic:
+                            r = jnp.sqrt(rsq_s)
+                            dr = r - r0he
+                            fb_s = -2.0 * khe * dr / r
+                            if energy:
+                                eb_s = khe * dr * dr
+                        else:
+                            rlog_s = jnp.maximum(
+                                1.0 - rsq_s / (r0he * r0he), 0.1)
+                            fb_s = -khe / rlog_s
+                            rsq_sw = jnp.maximum(
+                                rsq_s, 0.5625 * sighe * sighe)
+                            ssr2 = sighe * sighe / rsq_sw
+                            ssr6 = ssr2 * ssr2 * ssr2
+                            swca = rsq_s < 2.0 ** (1.0 / 3.0) * sighe * sighe
+                            fb_s = fb_s + jnp.where(
+                                swca,
+                                48.0 * epshe * ssr6 * (ssr6 - 0.5) / rsq_sw,
+                                0.0)
+                            if energy:
+                                eb_s = (-0.5 * khe * r0he * r0he
+                                        * jnp.log(rlog_s)
+                                        + jnp.where(
+                                            swca,
+                                            4.0 * epshe * ssr6 * (ssr6 - 1.0)
+                                            + epshe, 0.0))
+                        w = fb_s * am
+                        # transposed one-hots straight from the lane-
+                        # major table rows (fields 0/2 = l_row/r_row as
+                        # lanes) — both scatter dots are then STANDARD-
+                        # layout (cap, W) @ (W, P): the v1 dim-0
+                        # contractions forced Mosaic relayouts
+                        A_lT = (rowsT_i == tT[0:1, :]).astype(jnp.float32)
+                        A_rT = (rowsT_i == tT[2:3, :]).astype(jnp.float32)
+                        for c in range(3):
+                            fc = dd[c] * w      # (W, 1) force on left
+                            facc_ref[c, :, :] += jnp.dot(
+                                A_lT, M_l * fc, precision=hp)
+                            facc_ref[c, :, :] += jnp.dot(
+                                A_rT, M_r * (-fc), precision=hp)
+                        if energy:
+                            # spread 2*sum(eb) over the lane row so the
+                            # row sum recovers it (the engine halves all
+                            # sacc energies)
+                            sacc_ref[1:2, :] += (
+                                jnp.zeros((1, P), jnp.float32)
+                                + (2.0 / P) * jnp.sum(eb_s * am))
+                        return carry
+
+                    jax.lax.fori_loop(0, jnp.minimum(ex_nblk, NBLK), blk,
+                                      jnp.zeros((), jnp.int32))
+
+            # ---- post force: extruder residue + Langevin
+            #      (fix_langevin.cpp:654-674), t ramped per step ----
             if lan is not None:
-                c0 = pltpu.bitcast(bid, jnp.uint32)
-                x0, _ = _threefry2x32(k0, k1, c0, base + jnp.uint32(comp))
-                u = (x0 >> 8).astype(jnp.int32).astype(jnp.float32) * scale
-                noise = u - 0.5
-                f = f + (sc_g1 * ov_ref[comp] + sc_g2 * noise) * valid
-            of_ref[comp] = f
-            # ---- final integrate: half kick ----
-            ov_ref[comp] = ov_ref[comp] + sc_kick * f * valid
+                t_s = jnp.maximum(sc_t0 + sc_tsl * s.astype(jnp.float32),
+                                  0.0)
+                g2_s = sc_g2b * jnp.sqrt(t_s)
+                base = base0 + (jnp.uint32(4) * s.astype(jnp.uint32))
+            for comp in range(3):
+                f = facc_ref[comp]
+                if has_ex:
+                    # XLA fallback planes (overflow-dropped anchors):
+                    # valid only for the launch's first step — the
+                    # driver caps limit at 1 whenever they are nonzero
+                    f = f + exf_ref[comp]
+                if lan is not None:
+                    c0 = pltpu.bitcast(bid, jnp.uint32)
+                    x0, _ = _threefry2x32(
+                        k0, k1, c0, base + jnp.uint32(comp))
+                    u = (x0 >> 8).astype(jnp.int32).astype(
+                        jnp.float32) * scale
+                    noise = u - 0.5
+                    f = f + (sc_g1 * ov_ref[comp] + g2_s * noise) * valid
+                of_ref[comp] = f
+                # ---- final integrate: half kick ----
+                ov_ref[comp] = ov_ref[comp] + sc_kick * f * valid
 
-        # ---- skin monitor: max displacement vs rebuild reference ----
-        dxr = ox_ref[0] - gxr_ref[0]
-        dyr = ox_ref[1] - gxr_ref[1]
-        dzr = ox_ref[2] - gxr_ref[2]
-        dsq = (dxr * dxr + dyr * dyr + dzr * dzr) * valid
-        dmax = jnp.max(dsq)
-        # pairwise coverage bound: the two largest displacements summing
-        # past the full skin margin (engine.skin_check)
-        dmax2 = jnp.max(jnp.where(dsq == dmax, 0.0, dsq))
-        skin_bad = jnp.where(
-            jnp.sqrt(dmax) + jnp.sqrt(dmax2) > 2.0 * float(np.sqrt(halfskin_sq)),
-            1.0, 0.0)
-        # reactive rebuild trigger at 0.5 * half-skin (engine.skin_check)
-        trig_bad = jnp.where(dmax > 0.25 * halfskin_sq, 1.0, 0.0)
+            # ---- skin monitor: max displacement vs rebuild reference ----
+            dxr = ox_ref[0] - gxr_ref[0]
+            dyr = ox_ref[1] - gxr_ref[1]
+            dzr = ox_ref[2] - gxr_ref[2]
+            dsq = (dxr * dxr + dyr * dyr + dzr * dzr) * valid
+            dmax = jnp.max(dsq)
+            # pairwise coverage bound: the two largest displacements
+            # summing past the full skin margin (engine.skin_check)
+            dmax2 = jnp.max(jnp.where(dsq == dmax, 0.0, dsq))
+            bad_s = (jnp.sqrt(dmax) + jnp.sqrt(dmax2)
+                     > 2.0 * float(np.sqrt(halfskin_sq)))
+            # reactive rebuild trigger with PER-BEAD lookahead: the
+            # trigger is served with a one-step lag (the NEXT launch
+            # rebuilds), so predict each bead's next-step displacement
+            # EXACTLY — the next drift moves by dt * (v + kick*f), both
+            # already in refs — and trigger at 0.85 * half-skin (the 0.15
+            # headroom absorbs the next force eval's change; the
+            # pairwise full-margin flag above remains the correctness
+            # backstop).  Pairing global dmax with global vmax instead
+            # (different beads) over-triggered to rebuild-every-2.7-
+            # steps on the 100k bench; the r2 dmax-only trigger at
+            # 0.5 * half-skin lost the post-event-kick race and flagged
+            # 0x4; a velocity-only per-bead lookahead missed during
+            # force-ramp transients (lattice relaxation).
+            vn0 = ov_ref[0] + sc_kick * of_ref[0]
+            vn1 = ov_ref[1] + sc_kick * of_ref[1]
+            vn2 = ov_ref[2] + sc_kick * of_ref[2]
+            vsq = (vn0 * vn0 + vn1 * vn1 + vn2 * vn2) * valid
+            pred = jnp.max(jnp.sqrt(dsq) + sc_dt * jnp.sqrt(vsq))
+            trig_s = (pred > 0.85 * float(np.sqrt(halfskin_sq))).astype(
+                jnp.int32)
+            nb_found = jnp.sum(sacc_ref[2:3, :])
+            reach_s = (0.5 * nb_found < n_links - 0.5).astype(jnp.int32)
+            clamp_s = jnp.sum(sacc_ref[3:4, :])
+            return (s + 1, stopped | trig_s, clamps_tot + clamp_s,
+                    reach_bad | reach_s, skin_bad | bad_s.astype(jnp.int32),
+                    trig_s)
 
-        hn = hn_ref[...]
-        n_links = jnp.sum(valid * (hn > 0).astype(jnp.float32))
+        def step_cond(carry):
+            s, stopped = carry[0], carry[1]
+            return (s < limit) & (stopped == 0)
+
+        z = jnp.zeros((), jnp.int32)
+        (steps_done, _, clamps_tot, reach_bad, skin_bad, trig) = (
+            jax.lax.while_loop(
+                step_cond, step_body,
+                (z, z, jnp.zeros((), jnp.float32), z, z, z)))
 
         stats = jnp.concatenate([
             jnp.full((1, 128), jnp.sum(sacc_ref[0:1, :]), jnp.float32),
             jnp.full((1, 128), jnp.sum(sacc_ref[1:2, :]), jnp.float32),
-            jnp.full((1, 128), jnp.sum(sacc_ref[2:3, :]), jnp.float32),
-            jnp.full((1, 128), jnp.sum(sacc_ref[3:4, :]), jnp.float32),
+            jnp.full((1, 128), reach_bad.astype(jnp.float32), jnp.float32),
+            jnp.full((1, 128), clamps_tot, jnp.float32),
             jnp.full((1, 128), n_links, jnp.float32),
-            jnp.full((1, 128), skin_bad, jnp.float32),
-            jnp.full((1, 128), trig_bad, jnp.float32),
-            jnp.zeros((1, 128), jnp.float32),
+            jnp.full((1, 128), skin_bad.astype(jnp.float32), jnp.float32),
+            jnp.full((1, 128), trig.astype(jnp.float32), jnp.float32),
+            jnp.full((1, 128), steps_done.astype(jnp.float32), jnp.float32),
         ], axis=0)
         stats_ref[...] = stats
 
@@ -464,7 +648,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     # per Simulation: dt/damp enter via sc_ref at run time
     cache_key = (
         system.neighbor.nx, system.neighbor.ny, system.neighbor.nz,
-        cap, P, n, system.box_size,
+        cap, P, n, EPAD, system.box_size,
         round(kf, 12), round(r0f, 12), round(epsf, 12), round(sigf, 12),
         round(lj1, 12), round(cutsq, 12),
         energy, lan is not None, has_ex, interpret,
@@ -477,7 +661,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             out_shape=[plane, plane, plane,
                        jax.ShapeDtypeStruct((8, 128), jnp.float32)],
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +
-                     [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+                     [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             scratch_shapes=[
                 pltpu.VMEM((3, cap, P), jnp.float32),   # force accumulators
@@ -493,19 +677,39 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
 
     def call(gx, gv, gf, exf, gxref, bid, hn, pid,
              sstep, do_drift, key_words, t_target,
-             ex_inkernel=None):
-        """key_words: (2,) uint32 step-folded PRNG words (engine step key).
+             ex_inkernel=None, t_slope=None, limit=None, ex_tab=None,
+             ex_tabT=None, ex_nblk=None):
+        """key_words: (2,) uint32 RUN-constant PRNG words (the langevin
+        key folded WITHOUT the step — engine step_pallas).
 
-        The threefry counter base (step*4, matching engine._uniform3) is
-        appended here so all scalar plumbing stays uint32 in SMEM.
-        ``ex_inkernel``: scalar, 1 = springs ride the dense pass (and exf
-        must be zero planes); 0/None = exf carries the spring forces.
+        The threefry counter base (sstep*4, matching engine._uniform3) is
+        appended here so all scalar plumbing stays uint32 in SMEM; steps
+        inside the launch advance the counter by 4 each.
+        ``ex_tab``/``ex_tabT``: spring tables (engine._ex_block_table)
+        — (EPAD, 8) rows [l_row, l_col, r_row, r_col, active, 0...] and
+        the lane-major (NBLK*8, EX_BLOCK) twin the transposed one-hots
+        are built from; ``ex_nblk``: leading blocks holding springs.
+        ``ex_inkernel``: scalar, 1 = the block pass covers every active
+        spring (exf must be zero planes); 0/None = exf carries the spring
+        forces and the caller caps limit at 1.
+        ``t_target``/``t_slope``: thermostat target at ``sstep`` and its
+        per-step ramp slope inside the launch.  ``limit``: max steps this
+        launch may execute (default 1 — the single-step contract).
         """
         if ex_inkernel is None:
             ex_inkernel = jnp.zeros((), jnp.int32)
+        if limit is None:
+            limit = jnp.ones((), jnp.int32)
+        if ex_tab is None:
+            ex_tab = jnp.zeros((EPAD, 8), jnp.int32)
+        if ex_tabT is None:
+            ex_tabT = jnp.zeros((NBLK * 8, EX_BLOCK), jnp.int32)
+        if ex_nblk is None:
+            ex_nblk = jnp.zeros((), jnp.int32)
         meta = jnp.stack([sstep, do_drift.astype(jnp.int32),
                           ex_inkernel.astype(jnp.int32),
-                          jnp.zeros((), jnp.int32)])
+                          limit.astype(jnp.int32),
+                          ex_nblk.astype(jnp.int32)])
         keyw = jnp.stack([
             key_words[0], key_words[1],
             (sstep * 4).astype(jnp.uint32), jnp.zeros((), jnp.uint32),
@@ -513,16 +717,19 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         zf = jnp.zeros((), jnp.float32)
         if lan is not None:
             g1 = jnp.asarray(gamma1_v, jnp.float32)
-            g2 = gamma2_base * jnp.sqrt(t_target.astype(jnp.float32))
+            g2b = jnp.asarray(gamma2_base, jnp.float32)
+            t0 = t_target.astype(jnp.float32)
+            tsl = (zf if t_slope is None
+                   else jnp.asarray(t_slope, jnp.float32))
         else:
-            g1 = g2 = zf
+            g1 = g2b = t0 = tsl = zf
         sc = jnp.stack([
             jnp.asarray(dt, jnp.float32), jnp.asarray(kick, jnp.float32),
-            g1, g2, zf, zf, zf, zf,
+            g1, g2b, t0, tsl, zf, zf,
         ])
         return grid_call(
             d_arr, meta, keyw, sc,
-            gx, gv, gf, exf, gxref,
+            ex_tab, ex_tabT, gx, gv, gf, exf, gxref,
             bid, hn.astype(jnp.int32), pid, aux_arr,
         )
 
