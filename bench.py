@@ -117,35 +117,32 @@ def main():
     log(f"settle {time.perf_counter()-t0:.1f}s, flags={int(state.flags):#x}")
     state = state.replace(flags=jnp.zeros((), jnp.uint32))
 
-    # --- replica sweep: vmapped ensembles (BASELINE config 5) ---
-    # R=1 runs the fused whole-step Pallas core un-vmapped (its SMEM
-    # scalar inputs cannot batch) with reactive rebuilds; R>1 vmaps the
-    # XLA chain, whose rebuild cond must stay step-scalar under vmap —
-    # it gets a static cadence-4 clone of the system (the reactive
-    # trigger cannot batch without degrading every cond to a select)
+    # --- measurement: R=1 on the fused whole-step Pallas core ---
+    # Single-chip replica sweeping is CLOSED by the roofline measurements
+    # (PERF_NOTES "Replica roofline closure"): the R=1 kernel's stencil
+    # loop runs within ~15% of this chip's VPU elementwise ceiling, so the
+    # bottleneck resource is already saturated; vmapped R>1 must run the
+    # XLA chain (the kernel's SMEM scalars cannot batch) at ~3x lower
+    # elem-op efficiency AND a static rebuild cadence, which is why
+    # BENCH_r02 measured R=4 at 0.79x of R=1 aggregate.  Replicas remain
+    # the MULTI-chip dp axis (parallel/replica.py, dryrun-proven), not a
+    # single-chip throughput lever.  --sweep reproduces the comparison.
     import dataclasses as _dc
 
     segment_p, _ = make_fast_segment(sim)
-    system_x = _dc.replace(
-        system, neighbor=_dc.replace(system.neighbor, rebuild_every=4))
-    sim_x = Simulation(system=system_x, dt=sim.dt,
-                       energy_every=sim.energy_every, fixes=sim.fixes,
-                       ex_btype=sim.ex_btype)
-    segment_x, _ = make_fast_segment(sim_x, pallas=False, reactive=False)
+    sweep = [1]
+    if "--sweep" in sys.argv:
+        sweep = [1, 2] if quick else [1, 4, 8]
+    if max(sweep) > 1:
+        system_x = _dc.replace(
+            system, neighbor=_dc.replace(system.neighbor, rebuild_every=4))
+        sim_x = Simulation(system=system_x, dt=sim.dt,
+                           energy_every=sim.energy_every, fixes=sim.fixes,
+                           ex_btype=sim.ex_btype)
+        segment_x, _ = make_fast_segment(sim_x, pallas=False, reactive=False)
     results = {}
-    sweep = [1, 2] if quick else [1, 4, 8]
     best = None
     for R in sweep:
-        if R > 4 and results:
-            prevR = max(results)
-            prev = results[prevR]
-            if (prev["flags"] & ~8) != 0:
-                log(f"skipping R={R}: smaller ensemble already unhealthy")
-                continue
-            if prevR > 1 and prev["agg_bead_steps_per_s"] <= \
-                    results[1]["agg_bead_steps_per_s"]:
-                log(f"skipping R={R}: no aggregate gain at R={prevR}")
-                continue
         if R == 1:
             seg1 = jax.jit(segment_p)
             vseg = jax.jit(
