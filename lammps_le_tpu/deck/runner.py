@@ -63,6 +63,10 @@ class DeckRunner:
         self.regions: Dict[str, tuple] = {}
         self.max_extruders = max_extruders
         self.dumps: List = []
+        # atom-style variables (variable N atom <expr>): name -> AtomExpr,
+        # consumed by dump custom v_name columns (src/variable.cpp ATOM)
+        self.atom_vars: Dict[str, object] = {}
+        self.atom_var_scalars: Dict[str, object] = {}
         self.log_fh = None
 
         self.system = None
@@ -462,10 +466,30 @@ class DeckRunner:
                     raise DeckError(f"dump local: {fld!r} column out of "
                                     f"range (compute has {len(cols)})")
                 local_cols.append(cols[k])
+        atom_cols = None
+        if style in ("atom", "custom"):
+            # v_name columns resolve against atom-style variables
+            # (src/dump_custom.cpp parse_fields, the v_ case)
+            for fld in fields:
+                if not fld.startswith("v_"):
+                    continue
+                name = fld[2:]
+                if name not in self.atom_vars:
+                    raise DeckError(f"dump field {fld!r} references no "
+                                    "atom-style variable")
+                expr = self.atom_vars[name]
+                runner = self
+
+                def col(st, sy, expr=expr):
+                    return expr.evaluate(st, sy, runner.atom_var_scalars,
+                                         runner.atom_vars)
+
+                atom_cols = atom_cols or {}
+                atom_cols[fld] = col
         self.dumps.append(
             DumpSpec(id=did, style=style, every=every,
                      path=os.path.join(self.root, path), fields=fields,
-                     local_cols=local_cols,
+                     local_cols=local_cols, atom_cols=atom_cols,
                      ex_btype=max(self._ex_btype(), 1))
         )
 

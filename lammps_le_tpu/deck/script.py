@@ -165,6 +165,13 @@ class ScriptInterpreter:
                 self.vars[name] = LiveExpr(expr, self)
             else:
                 self.vars[name] = _eval_expr(expr, self.vars)
+        elif style == "atom":
+            # per-atom expression, evaluated lazily by consumers
+            # (dump custom v_name columns; src/variable.cpp ATOM style)
+            from .atomvars import AtomExpr
+
+            self.runner.atom_vars[name] = AtomExpr(name, " ".join(args[2:]))
+            self.runner.atom_var_scalars = self.vars
         elif style == "string":
             self.vars[name] = args[2]
         elif style == "index":

@@ -26,6 +26,9 @@ class DumpSpec:
     # per-bond value columns for 'local' frames (compute bond/local,
     # src/compute_bond_local.cpp): any of btype/batom1/batom2/dist/eng
     local_cols: Optional[List[str]] = None
+    # atom-style variable columns: 'v_name' -> (state, system) -> (N,)
+    # (src/dump_custom.cpp parse_fields, the v_ case)
+    atom_cols: Optional[dict] = None
     _fh: object = None
 
     def open(self):
@@ -133,6 +136,9 @@ def write_frame(spec: DumpSpec, state, system):
                 cols[fld] = v[:, "xyz".index(fld[1])]
             elif fld in ("ix", "iy", "iz"):
                 cols[fld] = img[:, "xyz".index(fld[1])]
+            elif fld.startswith("v_") and spec.atom_cols \
+                    and fld in spec.atom_cols:
+                cols[fld] = spec.atom_cols[fld](state, system)
             else:
                 raise ValueError(f"unsupported dump field {fld}")
         mat = np.column_stack([cols[f] for f in fields])

@@ -99,3 +99,58 @@ def test_deck_dump(tmp_path):
     traj = open(os.path.join(td, "traj.xyz")).read().splitlines()
     # two frames of 300 atoms + 2 headers each
     assert traj.count("300") >= 2
+
+
+def test_atom_style_variable_dump(tmp_path):
+    """variable N atom <expr> feeds dump custom v_name columns
+    (src/variable.cpp ATOM style; src/dump_custom.cpp v_ fields)."""
+    td = str(tmp_path)
+    _write_tiny(td)
+    deck = DECK.split("write_data")[0].replace(
+        "run 40",
+        "variable halfk atom 2\n"
+        "variable ke atom v_halfk*(vx*vx+vy*vy+vz*vz)\n"
+        "variable rscaled atom sqrt(x*x+y*y+z*z)/v_two\n"
+        "dump d1 all custom 20 traj.dump id type x y z v_ke v_rscaled\n"
+        "run 40",
+    )
+    with open(os.path.join(td, "in.tiny"), "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float32", quiet=True)
+    # scalar (equal-style) reference resolved at evaluation time
+    r.run_file(os.path.join(td, "in.tiny"), variables={"two": 2.0})
+    rows = []
+    with open(os.path.join(td, "traj.dump")) as fh:
+        lines = fh.read().splitlines()
+    hdr = [i for i, l in enumerate(lines) if l.startswith("ITEM: ATOMS")]
+    assert lines[hdr[0]].split()[2:] == [
+        "id", "type", "x", "y", "z", "v_ke", "v_rscaled"]
+    # check the LAST frame against the final state
+    last = np.array([[float(t) for t in l.split()]
+                     for l in lines[hdr[-1] + 1:hdr[-1] + 301]])
+    v = np.asarray(r.state.v)
+    x = np.asarray(r.state.x)
+    ke = 2.0 * (v ** 2).sum(axis=1)
+    rs = np.sqrt((x ** 2).sum(axis=1)) / 2.0
+    np.testing.assert_allclose(last[:, 5], ke, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(last[:, 6], rs, rtol=1e-5, atol=1e-8)
+
+
+def test_atom_variable_errors(tmp_path):
+    from lammps_le_tpu.deck.atomvars import AtomExpr
+    import pytest
+
+    with pytest.raises(ValueError):
+        AtomExpr("bad", "__import__('os')")
+    with pytest.raises(ValueError):
+        AtomExpr("bad", "x +")
+    td = str(tmp_path)
+    _write_tiny(td)
+    deck = DECK.split("run 40")[0] + \
+        "dump d1 all custom 20 t.dump id v_missing\nrun 0\n"
+    with open(os.path.join(td, "in.tiny"), "w") as fh:
+        fh.write(deck)
+    from lammps_le_tpu.deck.runner import DeckError
+    r = DeckRunner(dtype="float32", quiet=True)
+    with pytest.raises(DeckError):
+        r.run_file(os.path.join(td, "in.tiny"))
