@@ -351,34 +351,25 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                 Zj = pltpu.roll(Z, d, 1)
                 Bj = pltpu.roll(bid, d, 1)
                 Hj = pltpu.roll(hn, d, 1)
-                # Newton reactions for ALL i-rows share this offset's
-                # roll shift: accumulate them across the i loop and roll
-                # ONCE per component (was per-i — 24 full-plane rolls and
-                # adds per offset, ~20% of the stencil cost)
-                rax = jnp.zeros((cap, P), jnp.float32)
-                ray = jnp.zeros((cap, P), jnp.float32)
-                raz = jnp.zeros((cap, P), jnp.float32)
-                for i in range(cap):
-                    xi = X[i:i + 1, :]
-                    yi = Y[i:i + 1, :]
-                    zi = Z[i:i + 1, :]
-                    bi = bid[i:i + 1, :]
-                    hi = hn[i:i + 1, :]
-                    pi = pid_ref[i:i + 1, :]
-                    int_i = jnp.where(bi < n, interior, 0.0)
+                pidp = pid_ref[...]
 
-                    dx = xi - Xj
-                    dy = yi - Yj
-                    dz = zi - Zj
+                def pair_math(xi, yi, zi, bi, hi, pi, w_i,
+                              XJ, YJ, ZJ, BJ, HJ):
+                    # LJ + FENE + exclusion math for one broadcastable
+                    # (i-slab, j-slab) combination; energies/bond stats
+                    # accumulate into sacc_ref, force components return
+                    dx = xi - XJ
+                    dy = yi - YJ
+                    dz = zi - ZJ
                     rsq = dx * dx + dy * dy + dz * dz
                     nz_pair = rsq > 0.0
 
-                    bonded = ((Bj == bi + 1) & (hi > 0)) | \
-                             ((bi == Bj + 1) & (Hj > 0))
-                    excl = bonded | (Bj == pi)
+                    bonded = ((BJ == bi + 1) & (hi > 0)) | \
+                             ((bi == BJ + 1) & (HJ > 0))
+                    excl = bonded | (BJ == pi)
 
                     in_cut = rsq < cutsq
-                    w_lj = jnp.where(in_cut & nz_pair & (~excl), int_i, 0.0)
+                    w_lj = jnp.where(in_cut & nz_pair & (~excl), w_i, 0.0)
                     rsq_lj = jnp.maximum(
                         jnp.where(in_cut & nz_pair, rsq, 1.0), floorsq
                     )
@@ -392,7 +383,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                     if kf != 0.0:
                         in_reach = rsq < bond_reach_sq
                         w_b = jnp.where(
-                            bonded & nz_pair & in_reach, int_i, 0.0)
+                            bonded & nz_pair & in_reach, w_i, 0.0)
                         rsq_b = jnp.where(bonded & nz_pair, rsq, 1.0)
                         rlog = 1.0 - rsq_b / r0sq
                         cl = rlog < 0.1
@@ -420,9 +411,31 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                                            + epsf,
                                            0.0)),
                                 axis=0, keepdims=True)
-                    cx = dx * ffac
-                    cy = dy * ffac
-                    cz = dz * ffac
+                    return dx * ffac, dy * ffac, dz * ffac
+
+                # The j-side slab is split on the f32 sublane tile (8
+                # rows): rows >= 8 of the rolled planes would pad every
+                # (cap, P) op in the i loop to TWO sublane tiles (cap=9
+                # costs 16 rows of VPU work per op).  Instead the i loop
+                # runs against the single-tile 8-row block, and each tail
+                # j-row is one extra pass broadcast against the whole i
+                # plane — 9x1-tile + 1x2-tile instead of 9x2-tile ops.
+                JT = min(cap, 8)
+                # Newton reactions for ALL i-rows share this offset's
+                # roll shift: accumulate them across the i loop and roll
+                # ONCE per component (was per-i — 24 full-plane rolls and
+                # adds per offset, ~20% of the stencil cost)
+                rax = jnp.zeros((JT, P), jnp.float32)
+                ray = jnp.zeros((JT, P), jnp.float32)
+                raz = jnp.zeros((JT, P), jnp.float32)
+                XjB, YjB, ZjB = Xj[:JT], Yj[:JT], Zj[:JT]
+                BjB, HjB = Bj[:JT], Hj[:JT]
+                for i in range(cap):
+                    cx, cy, cz = pair_math(
+                        X[i:i + 1, :], Y[i:i + 1, :], Z[i:i + 1, :],
+                        bid[i:i + 1, :], hn[i:i + 1, :], pidp[i:i + 1, :],
+                        valid[i:i + 1, :],
+                        XjB, YjB, ZjB, BjB, HjB)
                     facc_ref[0, i:i + 1, :] += jnp.sum(
                         cx, axis=0, keepdims=True)
                     facc_ref[1, i:i + 1, :] += jnp.sum(
@@ -432,6 +445,24 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                     rax = rax + cx
                     ray = ray + cy
                     raz = raz + cz
+                # tail j-rows: one pass per row >= JT, i side = whole plane
+                tails = []
+                for jt in range(JT, cap):
+                    cx, cy, cz = pair_math(
+                        X, Y, Z, bid, hn, pidp, valid,
+                        Xj[jt:jt + 1, :], Yj[jt:jt + 1, :],
+                        Zj[jt:jt + 1, :], Bj[jt:jt + 1, :],
+                        Hj[jt:jt + 1, :])
+                    facc_ref[0, :, :] += cx
+                    facc_ref[1, :, :] += cy
+                    facc_ref[2, :, :] += cz
+                    tails.append((jnp.sum(cx, axis=0, keepdims=True),
+                                  jnp.sum(cy, axis=0, keepdims=True),
+                                  jnp.sum(cz, axis=0, keepdims=True)))
+                if tails:
+                    rax = jnp.concatenate([rax] + [t[0] for t in tails], 0)
+                    ray = jnp.concatenate([ray] + [t[1] for t in tails], 0)
+                    raz = jnp.concatenate([raz] + [t[2] for t in tails], 0)
                 # Newton reaction onto the j rows, rolled to their columns
                 facc_ref[0, :, :] += (-react) * pltpu.roll(rax, rd, 1)
                 facc_ref[1, :, :] += (-react) * pltpu.roll(ray, rd, 1)

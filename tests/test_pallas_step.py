@@ -165,3 +165,56 @@ def test_inkernel_spring_safe_mode(melt32):
     assert float(jnp.max(jnp.abs(fp.gx - fx.gx))) < 1e-5
     assert abs(float(fp.ebond) - float(fx.ebond)) < 5e-2
     assert int(fp.flags) == int(fx.flags) == 0
+
+
+def test_tail_row_parity():
+    """cap > 8 exercises the sublane-tile j-split: the 8-row block pass
+    plus broadcast tail rows must reproduce the XLA chain exactly (tail
+    rows hold the 9th+ bead of dense cells — the globule case)."""
+    n = 400
+    data = serpentine(n, spacing=0.97, row_gap=1.0, seed=9,
+                      barrier_fraction=0.01)
+    ones = np.ones((4, 4))
+    pair = PairLJCut(epsilon=ones, sigma=ones, cutoff=1.12 * ones,
+                     shift=True)
+    bonds = BondParams(
+        style=np.array([BOND_FENE, BOND_HARMONIC]),
+        coeffs=np.array([[30.0, 1.5, 1.0, 1.0], [3.0, 1.1, 0.0, 0.0]]),
+    )
+    # coarse cells (fat skin) force lambda high enough that real beads
+    # occupy tail rows
+    system, _ = system_from_data(
+        data, pair=pair, bonds=bonds, dtype="float32", ex_btype=2,
+        max_extruders=16, skin=0.9, rebuild_every=3, cell_cap=10,
+    )
+    warm = Simulation(system=system, dt=0.005,
+                      fixes=(NVE(), Langevin(1.0, 1.0, 1.0, seed=5)),
+                      ex_btype=2)
+    state = init_state(system, data.x, types=data.types, seed=11)
+    state, _ = run_general(warm, state, 40)
+    state = state.replace(flags=jnp.zeros((), jnp.uint32))
+    sim = _le_sim(system, energy_every=4)
+
+    # occupancy must actually reach the tail rows for this test to bite
+    fs0 = to_fast(state, sim)
+    occ = np.asarray(fs0.bid < n).sum(axis=0)
+    assert occ.max() > 8, f"max occupancy {occ.max()} — tail rows empty"
+
+    # strict force parity at ONE step (longer windows only measure f32
+    # reassociation chaos, not the tail path)
+    fx = _run_core(sim, state, 1, pallas=False)
+    fp = _run_core(sim, state, 1, pallas="interpret")
+    scale = float(jnp.max(jnp.abs(fx.gf)))
+    assert float(jnp.max(jnp.abs(fp.gf - fx.gf))) < 3e-5 * max(scale, 1.0)
+    assert abs(float(fx.epair) - float(fp.epair)) < 0.05
+    assert abs(float(fx.ebond) - float(fp.ebond)) < 0.05
+    # multi-rebuild window: this deliberately overloaded config (the LE
+    # events detonate it within a few steps) must FAIL IDENTICALLY on
+    # both engines — same sticky flags, same event counters.  Positions
+    # are not compared (f32 chaos; the physics-parity claim is the
+    # 1-step check above).
+    fx = _run_core(sim, state, 8, pallas=False)
+    fp = _run_core(sim, state, 8, pallas="interpret")
+    assert int(fx.flags) == int(fp.flags)
+    assert int(fx.n_loads) == int(fp.n_loads)
+    assert int(fx.n_moves) == int(fp.n_moves)
