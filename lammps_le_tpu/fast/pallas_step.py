@@ -188,6 +188,8 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     else:
         kf = r0f = epsf = sigf = 0.0
     r0sq = r0f * r0f if r0f else 1.0
+    inv_r0sq = 1.0 / r0sq  # trace-time scalar: strength-reduce the
+    # per-pair rsq/r0sq division to a multiply
     wca_cutsq = 2.0 ** (1.0 / 3.0) * sigf * sigf
     wca_floorsq = 0.5625 * sigf * sigf
     bond_reach_sq = (2.0 * system.neighbor.cell_size) ** 2
@@ -370,10 +372,19 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
 
                     in_cut = rsq < cutsq
                     w_lj = jnp.where(in_cut & nz_pair & (~excl), w_i, 0.0)
-                    rsq_lj = jnp.maximum(
-                        jnp.where(in_cut & nz_pair, rsq, 1.0), floorsq
+                    # ONE reciprocal serves both LJ and FENE-WCA: f32
+                    # division is a multi-op VPU sequence, and the two
+                    # consumers mask DISJOINT pairs (bonded pairs are
+                    # LJ-excluded), so each reads rcp under its own
+                    # floor; the other side's garbage is masked to zero.
+                    bonded_nz = bonded & nz_pair
+                    rsq_den = jnp.where(
+                        bonded_nz,
+                        jnp.maximum(rsq, wca_floorsq),
+                        jnp.maximum(
+                            jnp.where(in_cut & nz_pair, rsq, 1.0), floorsq),
                     )
-                    r2 = 1.0 / rsq_lj
+                    r2 = 1.0 / rsq_den
                     r6 = r2 * r2 * r2
                     ffac = r6 * (lj1 * r6 - lj2) * r2 * w_lj
                     if energy:
@@ -383,18 +394,17 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                     if kf != 0.0:
                         in_reach = rsq < bond_reach_sq
                         w_b = jnp.where(
-                            bonded & nz_pair & in_reach, w_i, 0.0)
-                        rsq_b = jnp.where(bonded & nz_pair, rsq, 1.0)
-                        rlog = 1.0 - rsq_b / r0sq
+                            bonded_nz & in_reach, w_i, 0.0)
+                        rsq_b = jnp.where(bonded_nz, rsq, 1.0)
+                        rlog = 1.0 - rsq_b * inv_r0sq
                         cl = rlog < 0.1
                         rlog = jnp.where(cl, 0.1, rlog)
                         fb = -kf / rlog
-                        rsq_w = jnp.maximum(rsq_b, wca_floorsq)
-                        sr2 = sigf * sigf / rsq_w
+                        sr2 = (sigf * sigf) * r2
                         sr6 = sr2 * sr2 * sr2
                         wca = rsq_b < wca_cutsq
                         fb = fb + jnp.where(
-                            wca, 48.0 * epsf * sr6 * (sr6 - 0.5) / rsq_w, 0.0
+                            wca, 48.0 * epsf * sr6 * (sr6 - 0.5) * r2, 0.0
                         )
                         ffac = ffac + fb * w_b
                         sacc_ref[2:3, :] += wgt * jnp.sum(
