@@ -476,6 +476,7 @@ def make_kernel(system: System, maps: _FastMaps, ex_btype: int):
     else:
         kf = r0f = epsf = sigf = 0.0
     r0sq = r0f * r0f
+    inv_r0sq = 1.0 / r0sq if r0sq else 0.0
     wca_cutsq = 2.0 ** (1.0 / 3.0) * sigf * sigf
     wca_floorsq = 0.5625 * sigf * sigf
     # blast shield: a legitimate bonded pair inside the +-1 stencil is
@@ -524,29 +525,37 @@ def make_kernel(system: System, maps: _FastMaps, ex_btype: int):
             in_cut = rsq < cutsq
             w_lj = jnp.where(in_cut & nz_pair & ~excl, int_i,
                              jnp.zeros_like(rsq))
-            rsq_lj = jnp.maximum(
-                jnp.where(in_cut & nz_pair, rsq, jnp.ones_like(rsq)), floorsq
+            # shared reciprocal under per-side floors (see
+            # pallas_step.pair_math — the two consumers mask disjoint
+            # pairs); keeps the XLA chain arithmetic-identical to the
+            # fused kernel
+            bonded_nz = bonded & nz_pair
+            rsq_den = jnp.where(
+                bonded_nz,
+                jnp.maximum(rsq, wca_floorsq),
+                jnp.maximum(
+                    jnp.where(in_cut & nz_pair, rsq, jnp.ones_like(rsq)),
+                    floorsq),
             )
-            r2 = 1.0 / rsq_lj
+            r2 = 1.0 / rsq_den
             r6 = r2 * r2 * r2
             fp = r6 * (lj1 * r6 - lj2) * r2 * w_lj
             ffac = fp
 
             if kf != 0.0:
                 in_reach = rsq < bond_reach_sq
-                w_b = jnp.where(bonded & nz_pair & in_reach, int_i,
+                w_b = jnp.where(bonded_nz & in_reach, int_i,
                                 jnp.zeros_like(rsq))
-                rsq_b = jnp.where(bonded & nz_pair, rsq, jnp.ones_like(rsq))
-                rlog = 1.0 - rsq_b / r0sq
+                rsq_b = jnp.where(bonded_nz, rsq, jnp.ones_like(rsq))
+                rlog = 1.0 - rsq_b * inv_r0sq
                 cl = rlog < 0.1
                 rlog = jnp.where(cl, jnp.asarray(0.1, dtype), rlog)
                 fb = -kf / rlog
-                rsq_w = jnp.maximum(rsq_b, wca_floorsq)
-                sr2 = sigf * sigf / rsq_w
+                sr2 = (sigf * sigf) * r2
                 sr6 = sr2 * sr2 * sr2
                 wca = rsq_b < wca_cutsq
                 fb = fb + jnp.where(
-                    wca, 48.0 * epsf * sr6 * (sr6 - 0.5) / rsq_w, 0.0
+                    wca, 48.0 * epsf * sr6 * (sr6 - 0.5) * r2, 0.0
                 )
                 ffac = ffac + fb * w_b
                 nb_found = nb_found + jnp.sum(w_b)
