@@ -1015,9 +1015,39 @@ class DeckRunner:
         save_checkpoint(os.path.join(self.root, args[0]), self.state)
 
     def cmd_read_restart(self, args):
+        path = os.path.join(self.root, args[0])
+        with open(path, "rb") as fh:
+            head = fh.read(16)
+        if head == b"LammpS RestartT\x00":
+            # native binary restart written by the REFERENCE binary
+            # (read_restart.cpp surface): restores box/atoms/bonds/step/dt
+            # like read_data + velocities; styles/coeffs still come from
+            # the deck (as LAMMPS itself requires for hybrid styles)
+            from ..io.data import DataFile
+            from ..io.lammps_restart import read_lammps_restart
+
+            r = read_lammps_restart(path)
+            bonds = np.asarray(r.bonds, np.int64)
+            if len(bonds):
+                bonds = bonds - 1  # DataFile is fully 0-based
+            self.data = DataFile(
+                n_atoms=r.natoms, n_bonds=len(bonds),
+                n_atom_types=r.ntypes, n_bond_types=r.nbondtypes,
+                box_lo=r.box_lo, box_hi=r.box_hi,
+                masses=np.asarray(r.masses if r.masses is not None
+                                  else np.ones(r.ntypes)),
+                x=r.x, v=r.v, types=r.types,
+                molecule=np.maximum(r.molecule - 1, 0),
+                image=r.img, bonds=bonds,
+            )
+            self.timestep0 = int(r.step)
+            if r.dt:
+                self.dt = float(r.dt)
+            self.state = None  # _build reinitializes from the restart
+            self._dirty = True
+            return
         from ..io.checkpoint import load_checkpoint
 
         if self.sim is None or self._dirty:
             self._build()
-        self.state = load_checkpoint(os.path.join(self.root, args[0]),
-                                     like=self.state)
+        self.state = load_checkpoint(path, like=self.state)
