@@ -507,10 +507,24 @@ class DeckRunner:
 
             fix = NVELimit(xmax=float(rest[0]), group=g)
         elif style == "langevin":
+            kw = dict(zero=False)
+            tail = list(rest[4:])
+            while tail:
+                k = tail.pop(0)
+                if k == "zero" and tail:
+                    # src/fix_langevin.cpp:97-145 zeroflag: random-force
+                    # sum adjusted to zero each step (general path only)
+                    kw["zero"] = tail.pop(0) == "yes"
+                elif k in ("tally", "gjf"):
+                    raise DeckError(
+                        f"fix langevin {k} is unsupported (unused by LE "
+                        "decks; see SURVEY non-goals)")
+                else:
+                    raise DeckError(f"fix langevin keyword {k!r}")
             fix = Langevin(
                 t_start=float(rest[0]), t_stop=float(rest[1]),
                 damp=float(rest[2]), seed=int(rest[3]) if len(rest) > 3 else 12345,
-                group=g,
+                group=g, **kw,
             )
         elif style == "extrusion":
             # fix loop all extrusion N1 neutral ctcf_l ctcf_r prob btype

@@ -257,7 +257,9 @@ def fast_supported(sim) -> bool:
                 return False
             n_nve += 1
         elif isinstance(f, Langevin):
-            if f.group is not None:
+            if f.group is not None or f.zero:
+                # zeroflag needs a global random-force reduce per step —
+                # general path only (fixes/config.py Langevin.zero)
                 return False
             n_lan += 1
         elif isinstance(f, (Extrusion, ExLoad, ExUnload)):

@@ -40,6 +40,11 @@ class Langevin:
     damp: float
     seed: int = 12345
     group: Optional[str] = None
+    # ``zero yes`` (fix_langevin.cpp zeroflag): subtract the group mean
+    # from the random force each step so it sums to zero — kills the
+    # thermostat's COM random walk.  General path only (the fused kernel
+    # would need a cross-plane reduce per step; LE decks don't use it).
+    zero: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -351,7 +351,19 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
                 / units.ftm2v
             ) * jnp.sqrt(t_target)
             noise = jax.random.uniform(key, state.v.shape, dtype) - 0.5
-            fl = gamma1 * state.v + gamma2 * noise
+            fr_rand = gamma2 * noise
+            if lf.zero:
+                # zeroflag: random-force sum adjusted to zero over the
+                # group each step (fix_langevin.cpp post_force end)
+                if gm is None:
+                    fr_rand = fr_rand - jnp.mean(fr_rand, axis=0,
+                                                 keepdims=True)
+                else:
+                    cnt = jnp.maximum(jnp.sum(gm.astype(dtype)), 1.0)
+                    mean = jnp.sum(jnp.where(gm, fr_rand, 0.0), axis=0,
+                                   keepdims=True) / cnt
+                    fr_rand = fr_rand - mean
+            fl = gamma1 * state.v + fr_rand
             f_total = f_total + (fl if gm is None else jnp.where(gm, fl, 0.0))
 
         # --- post force: registered extension hooks ---

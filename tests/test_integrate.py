@@ -43,3 +43,34 @@ def test_langevin_thermalizes():
     assert 0.75 < tbar < 1.25, temps
     # velocities should be gaussian-ish, nonzero
     assert float(jnp.abs(state.v).max()) > 0.1
+
+
+def test_langevin_zero_conserves_momentum():
+    """fix langevin ... zero yes: the random-force group sum is adjusted
+    to zero each step (src/fix_langevin.cpp zeroflag), so with NVE +
+    equal masses and zero initial momentum the COM never random-walks."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lammps_le_tpu.fixes import NVE, Langevin
+    from lammps_le_tpu.integrate import Simulation, run
+    from lammps_le_tpu.state import init_state
+    from tests.helpers import relaxed_chain_system
+
+    system, x = relaxed_chain_system(n_chains=2, chain_len=24, seed=2)
+    state = init_state(system, x, seed=3)
+
+    def com_drift(zero):
+        sim = Simulation(
+            system=system, dt=0.005,
+            fixes=(NVE(), Langevin(1.0, 1.0, 2.0, seed=9, zero=zero)))
+        st, _ = run(sim, state, 40)
+        return float(jnp.max(jnp.abs(jnp.sum(st.v, axis=0))))
+
+    # drag term still acts per-atom, but starting from v=0 the ONLY
+    # momentum source is the noise: zeroed noise keeps total v at
+    # rounding noise, unzeroed random-walks orders of magnitude higher
+    dz = com_drift(True)
+    dn = com_drift(False)
+    assert dz < 1e-3, dz
+    assert dn > 10 * dz, (dn, dz)
