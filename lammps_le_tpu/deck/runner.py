@@ -986,8 +986,10 @@ class DeckRunner:
         self.state = state
         self.log(f"Minimization: {it} iterations, max|F| = {fmax:.6g}")
 
-    def cmd_write_data(self, args):
-        from ..io.data import DataFile, write_data
+    def _state_datafile(self):
+        """Current state as a DataFile (bonds rebuilt from the implicit
+        chain + live extruder table)."""
+        from ..io.data import DataFile
 
         st = self.state
         data = self.data
@@ -1004,7 +1006,7 @@ class DeckRunner:
         for l, r in zip(exl, exr):
             if l >= 0:
                 bonds.append((ex_btype - 1, l, r))
-        out = DataFile(
+        return DataFile(
             n_atoms=self.system.n,
             n_bonds=len(bonds),
             n_atom_types=data.n_atom_types,
@@ -1019,14 +1021,37 @@ class DeckRunner:
             image=np.asarray(st.img),
             bonds=np.asarray(bonds, np.int64).reshape(-1, 3),
         )
-        write_data(os.path.join(self.root, args[0]), out)
+
+    def cmd_write_data(self, args):
+        from ..io.data import write_data
+
+        write_data(os.path.join(self.root, args[0]), self._state_datafile())
 
     def cmd_write_restart(self, args):
-        from ..io.checkpoint import save_checkpoint
-
         if self.sim is None:
             self._build()
-        save_checkpoint(os.path.join(self.root, args[0]), self.state)
+        path = os.path.join(self.root, args[0])
+        if path.endswith(".restart"):
+            # native reference-readable format (write_restart.cpp layout):
+            # the reference binary can read_restart our mid-stream state
+            from ..io.lammps_restart import write_lammps_restart
+
+            p = self.system.pair
+            write_lammps_restart(
+                path, self._state_datafile(),
+                step=int(self.state.step), dt=float(self.sim.dt),
+                special_lj=tuple(self.system.special_lj),
+                pair=(np.asarray(p.epsilon), np.asarray(p.sigma),
+                      np.asarray(p.cutoff)) if p is not None else None,
+                bond_styles=(np.asarray(self.system.bonds.style)
+                             if self.system.bonds is not None else None),
+                bond_coeffs=(np.asarray(self.system.bonds.coeffs)
+                             if self.system.bonds is not None else None),
+            )
+            return
+        from ..io.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.state)
 
     def cmd_read_restart(self, args):
         path = os.path.join(self.root, args[0])

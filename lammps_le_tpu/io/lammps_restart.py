@@ -361,3 +361,220 @@ def read_lammps_restart(path: str) -> LammpsRestart:
         bufs.append(r.f64_vec())
     _unpack_atoms(bufs, out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# writer: produce a native restart the REFERENCE binary can resume
+# (mirror of the layout parsed above; see write_restart.cpp:424-498)
+
+from ..system import BOND_FENE, BOND_HARMONIC  # noqa: E402
+
+_BOND_NAMES = {BOND_FENE: "fene", BOND_HARMONIC: "harmonic"}
+
+
+class _Writer:
+    def __init__(self):
+        self.parts: List[bytes] = []
+
+    def raw(self, b: bytes):
+        self.parts.append(b)
+
+    def i32(self, v: int):
+        self.raw(struct.pack("<i", int(v)))
+
+    def i64(self, v: int):
+        self.raw(struct.pack("<q", int(v)))
+
+    def f64(self, v: float):
+        self.raw(struct.pack("<d", float(v)))
+
+    def flag_i32(self, flag: int, v: int):
+        self.i32(flag); self.i32(v)
+
+    def flag_i64(self, flag: int, v: int):
+        self.i32(flag); self.i64(v)
+
+    def flag_f64(self, flag: int, v: float):
+        self.i32(flag); self.f64(v)
+
+    def flag_str(self, flag: int, s: str):
+        b = s.encode() + b"\x00"
+        self.i32(flag); self.i32(len(b)); self.raw(b)
+
+    def flag_ivec(self, flag: int, vec):
+        self.i32(flag); self.i32(len(vec))
+        self.raw(np.asarray(vec, "<i4").tobytes())
+
+    def flag_dvec(self, flag: int, vec):
+        self.i32(flag); self.i32(len(vec))
+        self.raw(np.asarray(vec, "<f8").tobytes())
+
+
+def write_lammps_restart(path: str, data, step: int, dt: float,
+                         special_lj=(0.0, 1.0, 1.0), pair=None,
+                         bond_styles=None, bond_coeffs=None):
+    """Write ``data`` (a DataFile, 0-based like io.data) as a native
+    restart resumable by the reference binary.
+
+    ``pair``: optional (ntypes, ntypes) (epsilon, sigma, cutoff) triple of
+    arrays for the lj/cut coeff block.  ``bond_styles``: per-bond-type
+    style ints (BOND_FENE/BOND_HARMONIC); with a single distinct style its
+    coeff table is embedded, otherwise the hybrid convention applies
+    (coeffs re-specified by the resume deck, as LAMMPS requires).
+    """
+    n = data.n_atoms
+    ntypes = data.n_atom_types
+    nbt = data.n_bond_types
+    w = _Writer()
+    w.raw(MAGIC)
+    w.i32(0x0001)
+    w.i32(2)
+    # header — field order follows write_restart.cpp:426-498
+    w.flag_str(VERSION, "29 Oct 2020")
+    w.flag_i32(SMALLINT, 4)
+    w.flag_i32(IMAGEINT, 4)
+    w.flag_i32(TAGINT, 4)
+    w.flag_i32(BIGINT, 8)
+    w.flag_str(UNITS, "lj")
+    w.flag_i64(NTIMESTEP, step)
+    w.flag_i32(DIMENSION, 3)
+    w.flag_i32(NPROCS, 1)
+    w.flag_ivec(PROCGRID, [1, 1, 1])
+    w.flag_i32(NEWTON_PAIR, 0)
+    w.flag_i32(NEWTON_BOND, 0)
+    w.flag_i32(XPERIODIC, 1)
+    w.flag_i32(YPERIODIC, 1)
+    w.flag_i32(ZPERIODIC, 1)
+    w.flag_ivec(BOUNDARY, [0, 0, 0, 0, 0, 0])
+    w.flag_dvec(BOUNDMIN, [0.0] * 6)
+    # atom_style + flagless nargcopy
+    b = b"bond\x00"
+    w.i32(ATOM_STYLE); w.i32(len(b)); w.raw(b)
+    w.i32(0)
+    bonds = np.asarray(data.bonds, np.int64)
+    w.flag_i64(NATOMS, n)
+    w.flag_i32(NTYPES, ntypes)
+    w.flag_i64(NBONDS, len(bonds))
+    w.flag_i32(NBONDTYPES, nbt)
+    # per-atom capacity: both-direction storage + ex_load headroom
+    cnt = np.zeros(n, np.int64)
+    if len(bonds):
+        np.add.at(cnt, bonds[:, 1], 1)
+        np.add.at(cnt, bonds[:, 2], 1)
+    w.flag_i32(BOND_PER_ATOM, int(cnt.max(initial=0)) + 2)
+    for f_, v_ in ((NANGLES, 0), (NANGLETYPES, 0), (ANGLE_PER_ATOM, 0),
+                   (NDIHEDRALS, 0), (NDIHEDRALTYPES, 0),
+                   (DIHEDRAL_PER_ATOM, 0),
+                   (NIMPROPERS, 0), (NIMPROPERTYPES, 0),
+                   (IMPROPER_PER_ATOM, 0)):
+        if f_ in (NANGLES, NDIHEDRALS, NIMPROPERS):
+            w.flag_i64(f_, v_)
+        else:
+            w.flag_i32(f_, v_)
+    w.flag_i32(TRICLINIC, 0)
+    w.flag_dvec(BOXLO, list(data.box_lo))
+    w.flag_dvec(BOXHI, list(data.box_hi))
+    w.flag_f64(XY, 0.0)
+    w.flag_f64(XZ, 0.0)
+    w.flag_f64(YZ, 0.0)
+    w.flag_dvec(SPECIAL_LJ, list(special_lj))
+    w.flag_dvec(SPECIAL_COUL, list(special_lj))
+    w.flag_f64(TIMESTEP, dt)
+    w.flag_i32(ATOM_ID, 1)
+    w.flag_i32(ATOM_MAP_STYLE, 1)
+    w.flag_i32(ATOM_MAP_USER, 0)
+    w.flag_i32(ATOM_SORTFREQ, 1000)
+    w.flag_f64(ATOM_SORTBIN, 0.0)
+    w.flag_i32(COMM_MODE, 0)
+    w.flag_f64(COMM_CUTOFF, 0.0)
+    w.flag_i32(COMM_VEL, 0)
+    w.flag_i32(EXTRA_BOND_PER_ATOM, 2)
+    w.flag_i32(EXTRA_ANGLE_PER_ATOM, 0)
+    w.flag_i32(EXTRA_DIHEDRAL_PER_ATOM, 0)
+    w.flag_i32(EXTRA_IMPROPER_PER_ATOM, 0)
+    w.flag_i32(ATOM_MAXSPECIAL, 27)
+    w.flag_i64(NELLIPSOIDS, 0)
+    w.flag_i64(NLINES, 0)
+    w.flag_i64(NTRIS, 0)
+    w.flag_i64(NBODIES, 0)
+    w.i32(-1)
+    # groups: just "all"
+    w.i32(1)
+    g = b"all\x00"
+    w.i32(len(g)); w.raw(g)
+    # type arrays
+    w.flag_dvec(MASS, np.asarray(data.masses, np.float64))
+    w.i32(-1)
+    # force fields
+    if pair is not None:
+        eps, sig, cut = pair
+        w.flag_str(PAIR, "lj/cut")
+        w.f64(float(np.max(cut)))   # cut_global
+        w.i32(1)                    # offset_flag (shift yes)
+        w.i32(1)                    # mix_flag
+        w.i32(0)                    # tail_flag
+        for i in range(ntypes):
+            for j in range(i, ntypes):
+                w.i32(1)
+                w.f64(float(eps[i][j]))
+                w.f64(float(sig[i][j]))
+                w.f64(float(cut[i][j]))
+    if bond_styles is not None and nbt:
+        styles = [int(s) for s in bond_styles[:nbt]]
+        distinct = sorted(set(styles))
+        if len(distinct) == 1:
+            name = _BOND_NAMES[distinct[0]]
+            w.flag_str(BOND, name)
+            co = np.asarray(bond_coeffs, np.float64)
+            ncol = 4 if distinct[0] == BOND_FENE else 2
+            for c in range(ncol):
+                w.raw(co[:nbt, c].astype("<f8").tobytes())
+        else:
+            w.flag_str(BOND, "hybrid")
+            w.i32(len(distinct))
+            for s in distinct:
+                nm = _BOND_NAMES[s].encode() + b"\x00"
+                w.i32(len(nm)); w.raw(nm)
+    w.i32(-1)
+    # fix state: none (the LE fixes are restart-free, src/fix.cpp:60)
+    w.i32(0)
+    w.i32(0)
+    # file layout
+    w.flag_i32(MULTIPROC, 0)
+    w.flag_i32(MPIIO, 0)
+    w.i32(-1)
+    # per-proc payload: one record per atom, ubuf int64 puns
+    per_atom: Dict[int, List] = {i: [] for i in range(n)}
+    for t, a_, b_ in bonds:
+        per_atom[int(a_)].append((int(t) + 1, int(b_) + 1))
+        per_atom[int(b_)].append((int(t) + 1, int(a_) + 1))
+    recs = []
+    x = np.asarray(data.x, np.float64)
+    v = (np.asarray(data.v, np.float64) if data.v is not None
+         else np.zeros((n, 3)))
+    img = (np.asarray(data.image, np.int64) if data.image is not None
+           else np.zeros((n, 3), np.int64))
+    mol = (np.asarray(data.molecule, np.int64) if data.molecule is not None
+           else np.zeros(n, np.int64))
+    types = np.asarray(data.types, np.int64)
+    ib = lambda q: np.int64(q).view(np.float64)  # noqa: E731
+    for i in range(n):
+        blist = per_atom[i]
+        imgint = (((int(img[i, 2]) + _IMG_MAX) << 20)
+                  | ((int(img[i, 1]) + _IMG_MAX) << 10)
+                  | (int(img[i, 0]) + _IMG_MAX))
+        rec = [0.0, x[i, 0], x[i, 1], x[i, 2],
+               ib(i + 1), ib(int(types[i]) + 1), ib(1), ib(imgint),
+               v[i, 0], v[i, 1], v[i, 2],
+               ib(int(mol[i]) + 1), ib(len(blist))]
+        rec += [ib(t) for (t, _) in blist]
+        rec += [ib(a) for (_, a) in blist]
+        rec[0] = float(len(rec))
+        recs.extend(rec)
+    buf = np.asarray(recs, np.float64)
+    w.i32(PERPROC)
+    w.i32(len(buf))
+    w.raw(buf.astype("<f8").tobytes())
+    w.raw(MAGIC)
+    with open(path, "wb") as fh:
+        fh.write(b"".join(w.parts))

@@ -95,3 +95,109 @@ def test_deck_resumes_from_reference_restart(tmp_path):
     assert int(right[act][0]) >= t2[2] - 1
     # healthy continuation
     assert int(runner.state.flags) == 0, hex(int(runner.state.flags))
+
+
+WRITE_DECK = """
+units lj
+atom_style bond
+special_bonds fene
+read_data data.le
+neighbor 0.4 bin
+bond_style hybrid
+bond_coeff 1 fene 30.0 1.5 1.0 1.0
+bond_coeff 2 harmonic 3.0 1.1
+pair_style lj/cut 1.12
+pair_modify shift yes
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
+fix 1 all nve
+fix 2 all langevin 1.0 1.0 10.0 904297
+fix loop all extrusion 15 1 2 3 0.5 2 4
+timestep 0.005
+run 45
+write_restart ours.restart
+write_data ours.data
+"""
+
+
+def _write_run(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.join(HERE, "..", "benchmarks"))
+    from validate_vs_reference import make_le_data
+
+    from lammps_le_tpu.io.data import write_data
+
+    td = str(tmp_path)
+    data = make_le_data(n_beads=90, extruder_at=(20, 24),
+                        barriers={40: 2, 70: 3})
+    write_data(os.path.join(td, "data.le"), data)
+    with open(os.path.join(td, "in.w"), "w") as fh:
+        fh.write(WRITE_DECK)
+    runner = DeckRunner(dtype="float32", quiet=True)
+    runner.run_file(os.path.join(td, "in.w"))
+    return td, runner
+
+
+def test_write_native_roundtrip(tmp_path):
+    """Our native writer round-trips through our reader bit-exactly and
+    matches the engine's own text write_data of the same state."""
+    td, runner = _write_run(tmp_path)
+    r = read_lammps_restart(os.path.join(td, "ours.restart"))
+    d = read_data(os.path.join(td, "ours.data"))
+    assert r.step == 45 and r.dt == 0.005
+    # binary payload is EXACT vs the live engine state (the text data
+    # file rounds to %g)
+    np.testing.assert_array_equal(r.x, np.asarray(runner.state.x))
+    np.testing.assert_array_equal(r.v, np.asarray(runner.state.v))
+    np.testing.assert_array_equal(r.img, np.asarray(runner.state.img))
+    np.testing.assert_array_equal(r.types, d.types)
+    np.testing.assert_array_equal(np.sort(r.bonds - 1, axis=0),
+                                  np.sort(np.asarray(d.bonds), axis=0))
+    assert r.pair_coeffs[(1, 1)] == (1.0, 1.0, 1.12)
+
+
+LMP = "/tmp/lmpbuild/lmp"
+
+
+def test_reference_binary_resumes_our_restart(tmp_path):
+    """The COMPILED REFERENCE BINARY consumes our native restart: it must
+    read our mid-stream LE state and report the exact same atom state in
+    its own write_data."""
+    import pytest
+    import subprocess
+
+    if not os.path.exists(LMP):
+        pytest.skip("reference binary not built in this environment")
+    td, runner = _write_run(tmp_path)
+    deck = """
+units lj
+newton off
+atom_style bond
+special_bonds fene
+read_restart ours.restart
+neighbor 0.4 bin
+bond_style hybrid fene harmonic
+bond_coeff 1 fene 30.0 1.5 1.0 1.0
+bond_coeff 2 harmonic 3.0 1.1
+pair_style lj/cut 1.12
+pair_modify shift yes
+pair_coeff * * 1.0 1.0 1.12
+fix 1 all nve
+run 0
+write_data theirs.data
+"""
+    with open(os.path.join(td, "in.r"), "w") as fh:
+        fh.write(deck)
+    proc = subprocess.run([LMP, "-in", "in.r", "-log", "log.r"],
+                          cwd=td, capture_output=True, text=True,
+                          timeout=300)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    ours = read_data(os.path.join(td, "ours.data"))
+    theirs = read_data(os.path.join(td, "theirs.data"))
+    np.testing.assert_allclose(theirs.x, ours.x, atol=1e-12)
+    np.testing.assert_allclose(theirs.v, ours.v, atol=1e-12)
+    np.testing.assert_array_equal(theirs.types, ours.types)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(theirs.bonds), axis=0),
+        np.sort(np.asarray(ours.bonds), axis=0))
