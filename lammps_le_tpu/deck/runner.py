@@ -48,6 +48,9 @@ class DeckRunner:
         self.bond_style: Optional[str] = None
         self.bond_styles_by_type: Dict[int, str] = {}
         self.bond_coeffs: Dict[int, List[float]] = {}
+        self.angle_style: Optional[str] = None
+        self.angle_styles_by_type: Dict[int, str] = {}
+        self.angle_coeffs: Dict[int, List[float]] = {}
         self.masses: Dict[int, float] = {}
         self.dt: Optional[float] = None
         self.thermo_every = 0
@@ -258,6 +261,25 @@ class DeckRunner:
 
     def cmd_bond_style(self, args):
         self.bond_style = args[0]
+        self._dirty = True
+
+    def cmd_angle_style(self, args):
+        if args[0] not in ("harmonic", "cosine", "hybrid", "none"):
+            raise DeckError(f"unsupported angle_style {args[0]}")
+        self.angle_style = None if args[0] == "none" else args[0]
+        self._dirty = True
+
+    def cmd_angle_coeff(self, args):
+        at = int(args[0])
+        rest = args[1:]
+        if self.angle_style == "hybrid":
+            self.angle_styles_by_type[at] = rest[0]
+            rest = rest[1:]
+        else:
+            if self.angle_style is None:
+                raise DeckError("angle_coeff before angle_style")
+            self.angle_styles_by_type[at] = self.angle_style
+        self.angle_coeffs[at] = [float(v) for v in rest]
         self._dirty = True
 
     def cmd_bond_coeff(self, args):
@@ -644,6 +666,28 @@ class DeckRunner:
             coeffs[bt - 1, : len(c)] = c
         return BondParams(style=style, coeffs=coeffs)
 
+    def _build_angles(self):
+        if not self.angle_coeffs:
+            return None
+        from ..system import ANGLE_COSINE, ANGLE_HARMONIC, AngleParams
+
+        nat = max(self.data.n_angle_types, max(self.angle_coeffs))
+        style = np.zeros(nat, np.int64)
+        coeffs = np.zeros((nat, 2))
+        codes = {"harmonic": ANGLE_HARMONIC, "cosine": ANGLE_COSINE}
+        for at, c in self.angle_coeffs.items():
+            name = self.angle_styles_by_type[at]
+            if name not in codes:
+                raise DeckError(f"unsupported angle style {name!r}")
+            style[at - 1] = codes[name]
+            if name == "harmonic":
+                # input theta0 is degrees (angle_harmonic.cpp coeff)
+                coeffs[at - 1, 0] = c[0]
+                coeffs[at - 1, 1] = np.deg2rad(c[1])
+            else:
+                coeffs[at - 1, 0] = c[0]
+        return AngleParams(style=style, coeffs=coeffs)
+
     def _ex_btype(self):
         for f in self.fixes.values():
             if isinstance(f, (Extrusion, ExLoad, ExUnload)):
@@ -691,6 +735,14 @@ class DeckRunner:
             skin=self.skin,
             rebuild_every=self.rebuild_every,
         )
+        angles = self._build_angles()
+        if angles is not None:
+            if system.angle_center_type is None:
+                raise DeckError(
+                    "angle_coeff given but the data file has no Angles")
+            system = system.replace(angles=angles)
+        elif system.angle_center_type is not None:
+            raise DeckError("data file has Angles but no angle_style/coeff")
         dt = self.dt if self.dt is not None else system.units.dt_default
         self.system = system
         self.sim = Simulation(system=system, dt=dt,
@@ -1006,6 +1058,16 @@ class DeckRunner:
         for l, r in zip(exl, exr):
             if l >= 0:
                 bonds.append((ex_btype - 1, l, r))
+        act = self.system.angle_center_type
+        angles = None
+        n_angles = n_angle_types = 0
+        if act is not None:
+            centers = np.where(np.asarray(act) >= 0)[0]
+            angles = np.stack([np.asarray(act)[centers], centers - 1,
+                               centers, centers + 1], axis=1)
+            n_angles = len(centers)
+            n_angle_types = (len(self.system.angles.style)
+                             if self.system.angles is not None else 1)
         return DataFile(
             n_atoms=self.system.n,
             n_bonds=len(bonds),
@@ -1020,6 +1082,7 @@ class DeckRunner:
             molecule=self.system.molecule,
             image=np.asarray(st.img),
             bonds=np.asarray(bonds, np.int64).reshape(-1, 3),
+            n_angles=n_angles, n_angle_types=n_angle_types, angles=angles,
         )
 
     def cmd_write_data(self, args):

@@ -243,6 +243,9 @@ def fast_supported(sim) -> bool:
         return False
     if system.bonds is None:
         return False
+    if system.angles is not None:
+        # chain-bending pass is general-engine only (ops/angle.py)
+        return False
     bts = np.asarray(system.backbone_type)
     used = bts[bts >= 0]
     if used.size and (

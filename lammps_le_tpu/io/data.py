@@ -59,6 +59,9 @@ class DataFile:
     molecule: np.ndarray        # (N,) 0-based
     image: np.ndarray           # (N, 3) int
     bonds: np.ndarray           # (B, 3): type(0-based), i, j (0-based ids)
+    n_angles: int = 0
+    n_angle_types: int = 0
+    angles: Optional[np.ndarray] = None  # (A, 4): type, i, j, k (0-based)
 
 
 def _strip(line: str) -> str:
@@ -117,6 +120,8 @@ def read_data(path: str) -> DataFile:
     molecule = np.zeros(n, np.int32)
     image = np.zeros((n, 3), np.int32)
     bonds = np.zeros((nb, 3), np.int64)
+    na = hdr["n_angles"]
+    angles = np.zeros((na, 4), np.int64)
 
     def to_array(rows, expected, cols):
         """Rows -> (expected, cols) float array, id-placed.
@@ -177,6 +182,9 @@ def read_data(path: str) -> DataFile:
         elif name == "Bonds":
             arr = to_array(rows, nb, 4).astype(np.int64)
             bonds[:] = arr[:, 1:4] - 1
+        elif name == "Angles":
+            arr = to_array(rows, na, 5).astype(np.int64)
+            angles[:] = arr[:, 1:5] - 1
         # other sections silently skipped
         return j
 
@@ -204,6 +212,9 @@ def read_data(path: str) -> DataFile:
         molecule=molecule,
         image=image,
         bonds=bonds,
+        n_angles=na,
+        n_angle_types=hdr["n_angle_types"],
+        angles=angles if na else None,
     )
 
 
@@ -253,6 +264,18 @@ def system_from_data(
     from ..system import build_system
 
     next_bead, prev_bead, backbone_type, ex_pairs = split_topology(data, ex_btype)
+    angle_center = None
+    if data.angles is not None and data.n_angles:
+        # validate the chain-triplet invariant and encode at the center
+        # bead (System.angle_center_type); arbitrary non-chain triplets
+        # are out of the engine's implicit-topology scope
+        a = np.asarray(data.angles, np.int64)
+        if not (np.all(a[:, 2] - a[:, 1] == 1)
+                and np.all(a[:, 3] - a[:, 2] == 1)):
+            raise ValueError(
+                "Angles must be consecutive chain triplets (i-1, i, i+1)")
+        angle_center = np.full(data.n_atoms, -1, np.int32)
+        angle_center[a[:, 2]] = a[:, 0].astype(np.int32)
     system = build_system(
         n=data.n_atoms,
         n_types=data.n_atom_types,
@@ -265,6 +288,7 @@ def system_from_data(
         masses=data.masses,
         pair=pair,
         bonds=bonds,
+        angle_center_type=angle_center,
         special_lj=special_lj,
         units=units,
         max_extruders=max(max_extruders, len(ex_pairs)),
@@ -279,9 +303,10 @@ def write_data(path: str, data: DataFile, title: str = "lammps_le_tpu data file"
     with open(path, "w") as fh:
         fh.write(f"{title}\n\n")
         fh.write(f"{n} atoms\n{data.n_bonds} bonds\n")
-        fh.write("0 angles\n0 dihedrals\n0 impropers\n\n")
+        fh.write(f"{data.n_angles} angles\n0 dihedrals\n0 impropers\n\n")
         fh.write(f"{data.n_atom_types} atom types\n{data.n_bond_types} bond types\n")
-        fh.write("0 angle types\n0 dihedral types\n0 improper types\n\n")
+        fh.write(f"{data.n_angle_types} angle types\n"
+                 "0 dihedral types\n0 improper types\n\n")
         for ax, name in zip(range(3), ("x", "y", "z")):
             fh.write(f"{data.box_lo[ax]:.10g} {data.box_hi[ax]:.10g} "
                      f"{name}lo {name}hi\n")
@@ -305,3 +330,8 @@ def write_data(path: str, data: DataFile, title: str = "lammps_le_tpu data file"
             for b in range(data.n_bonds):
                 bt, bi, bj = data.bonds[b]
                 fh.write(f"{b + 1} {bt + 1} {bi + 1} {bj + 1}\n")
+        if data.n_angles and data.angles is not None:
+            fh.write("\nAngles\n\n")
+            for a in range(data.n_angles):
+                at, ai, aj, ak = data.angles[a]
+                fh.write(f"{a + 1} {at + 1} {ai + 1} {aj + 1} {ak + 1}\n")

@@ -425,6 +425,12 @@ def write_lammps_restart(path: str, data, step: int, dt: float,
     n = data.n_atoms
     ntypes = data.n_atom_types
     nbt = data.n_bond_types
+    if getattr(data, "n_angles", 0):
+        # atom_style bond carries no angle storage in LAMMPS; a faithful
+        # angle restart would need the atom_vec_angle payload layout
+        raise RestartError(
+            "native restart export with angles is unsupported "
+            "(atom_style bond payload); use npz checkpoints")
     w = _Writer()
     w.raw(MAGIC)
     w.i32(0x0001)

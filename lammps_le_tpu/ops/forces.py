@@ -156,4 +156,12 @@ def compute_forces(
             ebond = ebond + ee
             flags = flags | fl2
 
+    if system.angles is not None and system.angle_center_type is not None:
+        from .angle import chain_angle_force
+
+        fa, ea = chain_angle_force(x, system, energy=energy)
+        f = f + fa
+        # angle energy reports under emol with bonds, as thermo does
+        ebond = ebond + ea
+
     return ForceResult(f=f, epair=epair, ebond=ebond, flags=flags)

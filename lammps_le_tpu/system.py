@@ -93,6 +93,25 @@ class BondParams:
     coeffs: np.ndarray  # (n_bond_types, 4) float
 
 
+ANGLE_HARMONIC = 1
+ANGLE_COSINE = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class AngleParams:
+    """Per-angle-type coefficients.
+
+    ``style`` is one of the ANGLE_* codes.  Coefficient layout:
+      harmonic: k, theta0 (RADIANS — the deck converts from degrees,
+                reference: src/MOLECULE/angle_harmonic.cpp coeff())
+      cosine:   k         (E = k (1 + cos theta),
+                reference: src/MOLECULE/angle_cosine.cpp)
+    """
+
+    style: np.ndarray   # (n_angle_types,) int
+    coeffs: np.ndarray  # (n_angle_types, 2) float
+
+
 @dataclasses.dataclass(frozen=True)
 class System:
     """Immutable description of one simulation problem."""
@@ -112,6 +131,12 @@ class System:
 
     pair: Optional[PairLJCut] = None
     bonds: Optional[BondParams] = None
+    # chain bending: explicit Angles validated to be consecutive triplets
+    # (i-1, i, i+1) and stored as the angle type at the CENTER bead
+    # (-1 = none) — the shift-friendly encoding of the reference's
+    # anglelist (src/MOLECULE/atom_vec_angle.cpp).  General engine only.
+    angles: Optional[AngleParams] = None
+    angle_center_type: Optional[np.ndarray] = None  # (N,) int32, -1 none
 
     # special_bonds lj coefficients for 1-2/1-3/1-4 (reference:
     # src/force.cpp:748-800; ``special_bonds fene`` = 0,1,1).
@@ -221,6 +246,8 @@ def build_system(
     masses,
     pair: Optional[PairLJCut] = None,
     bonds: Optional[BondParams] = None,
+    angles: Optional[AngleParams] = None,
+    angle_center_type=None,
     special_lj=(0.0, 1.0, 1.0),
     units: str = "lj",
     skin: float = 0.4,
@@ -275,6 +302,9 @@ def build_system(
         masses=np.asarray(masses, np.float64),
         pair=pair,
         bonds=bonds,
+        angles=angles,
+        angle_center_type=(None if angle_center_type is None
+                           else np.asarray(angle_center_type, np.int32)),
         special_lj=tuple(float(v) for v in special_lj),
         neighbor=ncfg,
         max_extruders=int(max_extruders),
