@@ -584,13 +584,19 @@ class DeckRunner:
                 elif k in ("atype", "dtype", "itype"):
                     # angle/dihedral/improper creation hooks
                     # (fix_ex_load.cpp:107-121, 747-749): parsed for deck
-                    # compatibility; LE decks never define angle styles, so a
-                    # nonzero value has nothing to attach to
+                    # compatibility.  The reference creates angles over the
+                    # REWIRED special lists (spanning the new extruder
+                    # bond, fix_ex_load.cpp:845-900) — arbitrary dynamic
+                    # triplets, outside this engine's implicit-chain angle
+                    # encoding (static chain angles ARE supported:
+                    # ops/angle.py).  LE decks never use the hook; a
+                    # nonzero value is a documented non-goal (SURVEY).
                     if int(rest[i + 1]) != 0:
                         raise DeckError(
-                            "ex_load atype/dtype/itype: angle/dihedral/"
-                            "improper creation requires angle styles, which "
-                            "this engine does not define (LE decks use none)"
+                            "ex_load atype/dtype/itype: dynamic angle/"
+                            "dihedral/improper creation over rewired "
+                            "topology is a documented non-goal (static "
+                            "chain angles via angle_style ARE supported)"
                         )
                     i += 2
                 else:
