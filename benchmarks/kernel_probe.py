@@ -109,6 +109,8 @@ def measure(skin: float, cap: int, springs: bool, quick: bool):
     fs = seg(fs, b0, nwarm, b0, bend)
     jax.device_get(fs.step)
     compile_s = time.perf_counter() - t0
+    warm_launches = (int(jax.device_get(fs.n_launches))
+                     if getattr(fs, "n_launches", None) is not None else 0)
     t0 = time.perf_counter()
     done = 0
     while done < nmeas:
@@ -120,7 +122,7 @@ def measure(skin: float, cap: int, springs: bool, quick: bool):
     ms = wall / nmeas * 1e3
     agg = nmeas / wall * n_beads
     launches = getattr(fs, "n_launches", None)
-    spl = (nmeas / float(jax.device_get(launches))
+    spl = (nmeas / max(float(jax.device_get(launches)) - warm_launches, 1.0)
            if launches is not None else float("nan"))
     P = system.neighbor.nx  # report grid side; P in maps is private
     print(f"skin={skin} cap={cap} springs={int(springs)} nx={P} "

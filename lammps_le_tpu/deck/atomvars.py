@@ -107,7 +107,13 @@ class AtomExpr:
                         state, system, scalars, atom_vars,
                         _stack + (self.name,))
                 elif scalars and ref in scalars:
-                    env[nm] = float(str(scalars[ref]))
+                    try:
+                        env[nm] = float(str(scalars[ref]))
+                    except ValueError:
+                        raise ValueError(
+                            f"atom variable {self.name!r}: v_{ref} is not "
+                            f"numeric (value {str(scalars[ref])!r})"
+                        ) from None
                 else:
                     raise ValueError(
                         f"atom variable {self.name!r}: undefined "

@@ -678,6 +678,13 @@ class DeckRunner:
         from ..system import ANGLE_COSINE, ANGLE_HARMONIC, AngleParams
 
         nat = max(self.data.n_angle_types, max(self.angle_coeffs))
+        used = set()
+        if self.data.angles is not None:
+            used = set(int(t) + 1 for t in np.asarray(self.data.angles)[:, 0])
+        missing = sorted(used - set(self.angle_coeffs))
+        if missing:
+            # reference: 'All angle coeffs are not set' (force.cpp)
+            raise DeckError(f"angle coeffs not set for types {missing}")
         style = np.zeros(nat, np.int64)
         coeffs = np.zeros((nat, 2))
         codes = {"harmonic": ANGLE_HARMONIC, "cosine": ANGLE_COSINE}
@@ -1112,6 +1119,7 @@ class DeckRunner:
                 special_lj=tuple(self.system.special_lj),
                 pair=(np.asarray(p.epsilon), np.asarray(p.sigma),
                       np.asarray(p.cutoff)) if p is not None else None,
+                pair_shift=bool(p.shift) if p is not None else True,
                 bond_styles=(np.asarray(self.system.bonds.style)
                              if self.system.bonds is not None else None),
                 bond_coeffs=(np.asarray(self.system.bonds.coeffs)

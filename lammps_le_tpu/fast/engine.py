@@ -194,8 +194,6 @@ class FastState:
     #     post-event springs, overflow-dropped anchors) — invisible to the
     #     stencil, handled by the XLA pass.  Usually all-False, which lets
     #     the per-step pass collapse to a cond'd no-op.
-    ex_part: jax.Array = None
-    ex_far: jax.Array = None
     # () int32 run counters (the reference prints neighbor-build counts in
     # its Performance summary, src/finish.cpp): rebuilds since to_fast, and
     # device launches on the multi-step pallas path (launches << steps is
@@ -768,8 +766,6 @@ def to_fast(state: State, sim) -> FastState:
         n_clamps=jnp.zeros((), jnp.int32) + clamps,
         last_event=state.last_event,
         skin_pend=jnp.zeros((), jnp.int32),
-        ex_part=jnp.zeros((), jnp.int32),
-        ex_far=state.ex_left >= 0,
         n_rebuilds=jnp.zeros((), jnp.int32),
         n_launches=jnp.zeros((), jnp.int32),
         ex_tab=tab, ex_tabT=tabT, ex_nblk=nblk, ex_fb=ex_fb,
@@ -1019,34 +1015,6 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
          overflow) = _place(
             system, maps, x, v, f, fs.types, fs.ex_left, fs.ex_right, fs.img
         )
-        # spring-visibility partition for the in-kernel extruder pass (see
-        # FastState.ex_part/ex_far): EXACT anchor-cell adjacency from the
-        # placed slots — it must equal the stencil's pid-match visibility,
-        # else boundary springs double-count or drop
-        if sim.ex_btype > 0:
-            act = fs.ex_left >= 0
-            sx_, sy_, sz_ = maps.strides
-            nxyz = maps.nxyz
-
-            def cellco(slot):
-                col = jnp.where(slot < capP, slot % maps.P, 0)
-                ix = col // sx_
-                iy = (col % sx_) // sy_
-                iz = col % sy_ // sz_ if sz_ != 1 else col % sy_
-                return ix, iy, iz
-
-            cl = cellco(jnp.where(act, exl, 0))
-            cr = cellco(jnp.where(act, exr, 0))
-            far = jnp.zeros_like(act)
-            for (a, b, nax) in zip(cl, cr, nxyz):
-                dd = jnp.abs(a - b)
-                dd = jnp.minimum(dd, nax - dd)  # periodic cell distance
-                far = far | (dd > 1)
-            # overflow-dropped anchors never appear in the stencil
-            far = far | (exl >= capP) | (exr >= capP)
-            ex_far = act & far
-        else:
-            ex_far = jnp.zeros_like(fs.ex_left, bool)
         tab, tabT, nblk, ex_fb = _ex_block_table(
             exl, exr, fs.ex_left, capP, maps.P, maps.cap,
             _ex_epad(system))
@@ -1056,20 +1024,18 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
             ex_tab=tab, ex_tabT=tabT, ex_nblk=nblk, ex_fb=ex_fb,
             flags=fs.flags | overflow,
             skin_pend=jnp.zeros((), jnp.int32),
-            ex_part=jnp.ones((), jnp.int32),
-            ex_far=ex_far,
             n_rebuilds=fs.n_rebuilds + 1,
         )
 
     def skin_check(fs):
-        """Post-step displacement monitor: sets the reactive rebuild
-        trigger at 0.5 * half-skin (served NEXT step — same one-step lag
-        as the in-kernel monitor so both engines stay in lockstep) and the
-        sticky error flag on the PAIRWISE coverage bound: a pair can only
-        be missed when the two largest displacements sum past the full
-        skin margin (src/neighbor.cpp:1962 uses the same trigger at
-        half-skin per atom; flagging single-bead half-skin exceedance
-        would false-positive during the one-step reactive lag)."""
+        """Post-rebuild displacement monitor: sticky error flag on the
+        PAIRWISE coverage bound — a pair can only be missed when the two
+        largest displacements sum past the full skin margin
+        (src/neighbor.cpp:1962 uses half-skin per atom; flagging
+        single-bead half-skin exceedance would false-positive during the
+        one-step reactive lag).  The reactive rebuild trigger itself
+        lives at the END of the step (post final kick) so its lookahead
+        uses THIS step's force — see step()."""
         d = fs.gx - fs.gx_ref
         valid = (fs.bid < n) & interior[None, :]
         dsq = jnp.where(valid, jnp.sum(d * d, axis=0), 0.0)
@@ -1078,19 +1044,7 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         bad = jnp.sqrt(m1) + jnp.sqrt(m2) > 2.0 * np.sqrt(halfskin_sq)
         fl = fs.flags | jnp.where(
             bad, jnp.uint32(FLAG_SKIN_VIOLATION), jnp.uint32(0))
-        if not reactive:
-            return fs.replace(flags=fl)
-        # per-bead lookahead: the trigger is served with a one-step lag,
-        # so predict each bead's NEXT-step displacement exactly — the
-        # next drift moves by dt * (v + kick*f) — and trigger at 0.85 *
-        # half-skin.  A post-LE-event kick can eat the whole remaining
-        # margin in one step (the in-kernel monitor in pallas_step
-        # mirrors this exactly).
-        vn = fs.gv + (dtf / mass) * fs.gf
-        vsq = jnp.where(valid, jnp.sum(vn * vn, axis=0), 0.0)
-        pred = jnp.max(jnp.sqrt(dsq) + dt * jnp.sqrt(vsq))
-        return fs.replace(flags=fl, skin_pend=jnp.where(
-            pred > 0.85 * np.sqrt(halfskin_sq), 1, 0).astype(jnp.int32))
+        return fs.replace(flags=fl)
 
     def forces(fs, sstep):
         energy_on = (sstep % energy_every) == 0
@@ -1200,7 +1154,23 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
 
         # final integrate: half kick (fix_nve.cpp:108-140)
         gv = fs.gv + (dtf / mass) * gf * valid
-        return fs.replace(gv=gv, gf=gf)
+        if not reactive:
+            return fs.replace(gv=gv, gf=gf)
+        # reactive rebuild trigger with PER-BEAD lookahead, mirroring the
+        # in-kernel monitor BIT-FOR-BIT (pallas_step step_body tail): the
+        # trigger is served next step, so predict the next drift EXACTLY
+        # — dt * |v(t+dt) + kick*f_new| with THIS step's total force
+        # (an earlier variant used the stale pre-step force one half-kick
+        # short, which under-predicted post-LE-event spring snaps and
+        # could flag 0x4 / desync the two engines' rebuild schedules)
+        d = fs.gx - fs.gx_ref
+        vmask_b = (fs.bid < n) & interior[None, :]
+        dsq = jnp.where(vmask_b, jnp.sum(d * d, axis=0), 0.0)
+        vn = gv + (dtf / mass) * gf
+        vsq = jnp.where(vmask_b, jnp.sum(vn * vn, axis=0), 0.0)
+        pred = jnp.max(jnp.sqrt(dsq) + dt * jnp.sqrt(vsq))
+        return fs.replace(gv=gv, gf=gf, skin_pend=jnp.where(
+            pred > 0.85 * np.sqrt(halfskin_sq), 1, 0).astype(jnp.int32))
 
     # ---- fused whole-step Pallas core (one device launch per step) ----
     mode = _pallas_step_mode(system, pallas)
@@ -1229,7 +1199,7 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
             Anchor positions are advanced by the SAME half-kick+drift the
             kernel will apply (scaled by ``do_drift``), so the spring acts
             on this step's x exactly like make_extruder_pass does.
-            ``mask``: restrict to this subset (the ex_far partition).
+            ``mask``: optional subset restriction (None = all active).
             """
             if sim.ex_btype <= 0:
                 return zero_planes, jnp.zeros((), dtype)
@@ -1335,7 +1305,6 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
                 # overflow-dropped-anchor fallback (the caller then caps
                 # the launch at one step, the only span for which these
                 # planes are valid)
-                ex_in = (~fs.ex_fb).astype(jnp.int32)
                 # the boundary just above may have REFRESHED ex_fb (an
                 # overflow appearing at this rebuild): re-cap the span
                 # here, not only in segment's pre-launch estimate
@@ -1346,7 +1315,6 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
                     lambda fs, dd: (zero_planes, jnp.zeros((), dtype)),
                     fs, do_drift)
             else:
-                ex_in = None
                 exf, eb_ex = ex_force_planes(fs, do_drift, None)
 
             if lf is not None:
@@ -1380,7 +1348,7 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
                     fs.gx, fs.gv, fs.gf, exf, fs.gx_ref,
                     fs.bid, fs.hn, fs.pid,
                     sstep, do_drift, key_words, t_target,
-                    ex_inkernel=ex_in, t_slope=t_slope, limit=lim,
+                    t_slope=t_slope, limit=lim,
                     ex_tab=fs.ex_tab if sim.ex_btype > 0 else None,
                     ex_tabT=fs.ex_tabT if sim.ex_btype > 0 else None,
                     ex_nblk=fs.ex_nblk if sim.ex_btype > 0 else None)

@@ -692,6 +692,13 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         cap, P, n, EPAD, system.box_size,
         round(kf, 12), round(r0f, 12), round(epsf, 12), round(sigf, 12),
         round(lj1, 12), round(cutsq, 12),
+        # extruder-spring physics and the skin-derived trigger bound are
+        # ALSO baked into the closure — omitting them let a second
+        # Simulation with the same geometry silently reuse the first
+        # one's spring constants (round-3 review finding)
+        round(khe, 12), round(r0he, 12), round(epshe, 12),
+        round(sighe, 12), bool(ex_harmonic),
+        round(float(system.neighbor.skin), 12), round(bond_reach_sq, 12),
         energy, lan is not None, has_ex, interpret,
     )
     grid_call = _CALL_CACHE.get(cache_key)
@@ -718,7 +725,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
 
     def call(gx, gv, gf, exf, gxref, bid, hn, pid,
              sstep, do_drift, key_words, t_target,
-             ex_inkernel=None, t_slope=None, limit=None, ex_tab=None,
+             t_slope=None, limit=None, ex_tab=None,
              ex_tabT=None, ex_nblk=None):
         """key_words: (2,) uint32 RUN-constant PRNG words (the langevin
         key folded WITHOUT the step — engine step_pallas).
@@ -730,15 +737,10 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         — (EPAD, 8) rows [l_row, l_col, r_row, r_col, active, 0...] and
         the lane-major (NBLK*8, EX_BLOCK) twin the transposed one-hots
         are built from; ``ex_nblk``: leading blocks holding springs.
-        ``ex_inkernel``: scalar, 1 = the block pass covers every active
-        spring (exf must be zero planes); 0/None = exf carries the spring
-        forces and the caller caps limit at 1.
         ``t_target``/``t_slope``: thermostat target at ``sstep`` and its
         per-step ramp slope inside the launch.  ``limit``: max steps this
         launch may execute (default 1 — the single-step contract).
         """
-        if ex_inkernel is None:
-            ex_inkernel = jnp.zeros((), jnp.int32)
         if limit is None:
             limit = jnp.ones((), jnp.int32)
         if ex_tab is None:
@@ -748,7 +750,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         if ex_nblk is None:
             ex_nblk = jnp.zeros((), jnp.int32)
         meta = jnp.stack([sstep, do_drift.astype(jnp.int32),
-                          ex_inkernel.astype(jnp.int32),
+                          jnp.zeros((), jnp.int32),  # reserved (was ex_inkernel)
                           limit.astype(jnp.int32),
                           ex_nblk.astype(jnp.int32)])
         keyw = jnp.stack([

@@ -412,7 +412,8 @@ class _Writer:
 
 def write_lammps_restart(path: str, data, step: int, dt: float,
                          special_lj=(0.0, 1.0, 1.0), pair=None,
-                         bond_styles=None, bond_coeffs=None):
+                         pair_shift=True, bond_styles=None,
+                         bond_coeffs=None):
     """Write ``data`` (a DataFile, 0-based like io.data) as a native
     restart resumable by the reference binary.
 
@@ -516,7 +517,7 @@ def write_lammps_restart(path: str, data, step: int, dt: float,
         eps, sig, cut = pair
         w.flag_str(PAIR, "lj/cut")
         w.f64(float(np.max(cut)))   # cut_global
-        w.i32(1)                    # offset_flag (shift yes)
+        w.i32(1 if pair_shift else 0)  # offset_flag (pair_modify shift)
         w.i32(1)                    # mix_flag
         w.i32(0)                    # tail_flag
         for i in range(ntypes):

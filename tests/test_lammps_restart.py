@@ -152,8 +152,8 @@ def test_write_native_roundtrip(tmp_path):
     np.testing.assert_array_equal(r.v, np.asarray(runner.state.v))
     np.testing.assert_array_equal(r.img, np.asarray(runner.state.img))
     np.testing.assert_array_equal(r.types, d.types)
-    np.testing.assert_array_equal(np.sort(r.bonds - 1, axis=0),
-                                  np.sort(np.asarray(d.bonds), axis=0))
+    assert sorted(map(tuple, r.bonds - 1)) == \
+        sorted(map(tuple, np.asarray(d.bonds)))
     assert r.pair_coeffs[(1, 1)] == (1.0, 1.0, 1.12)
 
 
@@ -198,6 +198,5 @@ write_data theirs.data
     np.testing.assert_allclose(theirs.x, ours.x, atol=1e-12)
     np.testing.assert_allclose(theirs.v, ours.v, atol=1e-12)
     np.testing.assert_array_equal(theirs.types, ours.types)
-    np.testing.assert_array_equal(
-        np.sort(np.asarray(theirs.bonds), axis=0),
-        np.sort(np.asarray(ours.bonds), axis=0))
+    assert sorted(map(tuple, np.asarray(theirs.bonds))) == \
+        sorted(map(tuple, np.asarray(ours.bonds)))

@@ -155,11 +155,10 @@ def test_inkernel_spring_safe_mode(melt32):
 
     fx = _run_core(sim, state2, 6, pallas=False)
     fp = _run_core(sim, state2, 6, pallas="interpret")
-    # the partition must be live, with at least one spring riding the
-    # kernel (settled springs sit in adjacent cells)
-    assert int(fp.ex_part) == 1
-    act = np.asarray(fp.ex_left) >= 0
-    assert bool((~np.asarray(fp.ex_far)[act]).any())
+    # the cached block tables must cover the springs with the XLA
+    # fallback OFF (no overflow-dropped anchors in this settled config)
+    assert not bool(fp.ex_fb)
+    assert int(fp.ex_nblk) > 0
     scale = float(jnp.max(jnp.abs(fx.gf)))
     assert float(jnp.max(jnp.abs(fp.gf - fx.gf))) < 1e-4 * max(scale, 1.0)
     assert float(jnp.max(jnp.abs(fp.gx - fx.gx))) < 1e-5
@@ -218,3 +217,33 @@ def test_tail_row_parity():
     assert int(fx.flags) == int(fp.flags)
     assert int(fx.n_loads) == int(fp.n_loads)
     assert int(fx.n_moves) == int(fp.n_moves)
+
+
+def test_kernel_cache_keys_spring_physics(melt32):
+    """Two Simulations with identical geometry but different extruder
+    spring constants must NOT share a compiled kernel (the cache key
+    omitting spring coeffs silently reused the first run's springs —
+    round-3 review finding)."""
+    import dataclasses as _dc
+
+    system, state = melt32
+    k_soft = np.asarray(system.bonds.coeffs).copy()
+    k_hard = k_soft.copy()
+    k_hard[1, 0] = k_soft[1, 0] * 10.0  # extruder harmonic k
+    sys_soft = system
+    sys_hard = system.replace(
+        bonds=_dc.replace(system.bonds, coeffs=k_hard))
+
+    def spring_force(sys_):
+        sim = Simulation(
+            system=sys_, dt=0.005, energy_every=1,
+            fixes=(NVE(), Langevin(1.0, 1.0, 10.0, seed=904297)),
+            ex_btype=2)
+        fs = _run_core(sim, state, 1, pallas="interpret")
+        return float(jnp.max(jnp.abs(fs.gf))), float(fs.ebond)
+
+    f_soft, eb_soft = spring_force(sys_soft)
+    f_hard, eb_hard = spring_force(sys_hard)
+    # 10x stiffer springs on stretched extruder bonds must change the
+    # bond energy (stale-cache reuse would make these identical)
+    assert abs(eb_hard - eb_soft) > 1e-3, (eb_soft, eb_hard)
