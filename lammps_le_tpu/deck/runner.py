@@ -70,6 +70,9 @@ class DeckRunner:
         # consumed by dump custom v_name columns (src/variable.cpp ATOM)
         self.atom_vars: Dict[str, object] = {}
         self.atom_var_scalars: Dict[str, object] = {}
+        # script-interpreter variable table (ScriptInterpreter installs
+        # its live dict); thermo v_name columns read it at emit time
+        self.script_vars: Dict[str, object] = {}
         self.log_fh = None
 
         self.system = None
@@ -884,6 +887,11 @@ class DeckRunner:
             elif m and m.group(1) in fixvec_counter:
                 cols.append(c)
                 headers.append(c)
+            elif c.startswith("v_"):
+                # equal-style variable column (thermo.cpp v_ fields);
+                # resolved at emit time so loop/live variables track
+                cols.append(c)
+                headers.append(c)
             else:
                 # the reference errors on unknown thermo keywords
                 # (thermo.cpp parse_fields); silent skipping hides typos
@@ -920,6 +928,23 @@ class DeckRunner:
                     continue
                 if c == "density":
                     txt.append(f"{self.system.n / vol:>12.6g}")
+                    continue
+                if c.startswith("v_"):
+                    name_ = c[2:]
+                    if name_ not in self.script_vars:
+                        raise DeckError(
+                            f"thermo column {c!r}: undefined variable")
+                    # live (thermo-referencing) variables must see the
+                    # ROW's state, not whatever self.state holds when the
+                    # row is rendered
+                    saved = self.state
+                    if st is not None:
+                        self.state = st
+                    try:
+                        txt.append(
+                            f"{float(str(self.script_vars[name_])):>12.6g}")
+                    finally:
+                        self.state = saved
                     continue
                 if c == "pe":
                     fv = (float(vals["epair"]) + float(vals["ebond"])) * norm

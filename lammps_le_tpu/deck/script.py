@@ -142,6 +142,9 @@ class ScriptInterpreter:
     def __init__(self, runner, variables: Optional[dict] = None):
         self.runner = runner
         self.vars = dict(variables or {})
+        # thermo_style custom v_name columns resolve through this table
+        # (thermo.cpp parse_fields' v_ case -> input->variable)
+        runner.script_vars = self.vars
         self._lists: dict = {}        # index/loop variable state
         self._skip_next_jump = False
 

@@ -282,3 +282,49 @@ run 10
     interp = ScriptInterpreter(r)
     interp.one("variable tv2 equal 2*c_tc")
     assert abs(float(str(interp.vars["tv2"])) - 2 * want) < 1e-6
+
+
+def test_thermo_v_column(tmp_path):
+    """thermo_style custom v_name columns track live equal variables
+    (thermo.cpp parse_fields v_ case)."""
+    import os
+
+    from lammps_le_tpu.deck import DeckRunner
+    from lammps_le_tpu.io.data import write_data
+    from lammps_le_tpu.scene import serpentine
+
+    td = str(tmp_path)
+    write_data(os.path.join(td, "d.tiny"),
+               serpentine(60, seed=1, n_atom_types=1, n_bond_types=1))
+    deck = """
+units lj
+atom_style bond
+special_bonds fene
+read_data d.tiny
+bond_style fene
+bond_coeff 1 30.0 1.5 1.0 1.0
+pair_style lj/cut 1.12
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
+fix 1 all nve
+variable two equal 2.0
+variable tt equal temp*v_two
+thermo_style custom step temp v_two v_tt
+thermo 10
+timestep 0.004
+run 20
+"""
+    with open(os.path.join(td, "in.t"), "w") as fh:
+        fh.write(deck)
+    rows = []
+    r = DeckRunner(dtype="float32", quiet=True)
+    orig_log = r.log
+    r.log = lambda msg: rows.append(msg)
+    r.run_file(os.path.join(td, "in.t"))
+    data_rows = [l.split() for l in rows
+                 if l.split() and l.split()[0].isdigit()]
+    assert len(data_rows) >= 2
+    for row in data_rows:
+        step, temp, two, tt = (float(v) for v in row[:4])
+        assert two == 2.0
+        assert abs(tt - 2.0 * temp) < 1e-4 * max(temp, 1.0)
