@@ -356,6 +356,20 @@ class DeckRunner:
                                for p in props] or ["dist"],
             }
             return
+        if style == "reduce":
+            # compute ID group reduce mode input... — host-side scalar
+            # reduction over per-atom quantities or atom-style variables
+            # (src/compute_reduce.cpp; single-input scalar form)
+            mode = args[3]
+            if mode not in ("sum", "min", "max", "ave"):
+                raise DeckError(f"unsupported reduce mode {mode!r}")
+            inputs = args[4:]
+            if len(inputs) != 1:
+                raise DeckError("compute reduce: exactly one input "
+                                "supported (scalar c_ID consumers)")
+            self.computes[cid] = {"style": style, "group": group,
+                                  "mode": mode, "input": inputs[0]}
+            return
         if style not in ("gyration", "msd", "temp", "pressure"):
             raise DeckError(f"unsupported compute style {style}")
         # temp/pressure (src/compute_temp.cpp, src/compute_pressure.cpp):
@@ -396,6 +410,35 @@ class DeckRunner:
             return float(thermo_row(st, self.system).temp)
         if spec["style"] == "pressure":
             return self.live_value("press")
+        if spec["style"] == "reduce":
+            from .atomvars import ATOM_NAMES, AtomExpr
+
+            inp = spec["input"]
+            if inp.startswith("v_"):
+                name = inp[2:]
+                if name not in self.atom_vars:
+                    raise DeckError(
+                        f"compute reduce: {inp} is not an atom variable")
+                vals = self.atom_vars[name].evaluate(
+                    st, self.system, self.atom_var_scalars, self.atom_vars)
+            elif inp in ATOM_NAMES:
+                vals = ATOM_NAMES[inp](st, self.system)
+            else:
+                raise DeckError(f"compute reduce: unknown input {inp!r}")
+            if spec["group"] != "all":
+                groups = self._resolved_groups()
+                if spec["group"] not in groups:
+                    raise DeckError(
+                        f"compute reduce: undefined group {spec['group']!r}")
+                vals = vals[groups[spec["group"]]]
+            mode = spec["mode"]
+            if mode == "sum":
+                return float(np.sum(vals))
+            if mode == "min":
+                return float(np.min(vals))
+            if mode == "max":
+                return float(np.max(vals))
+            return float(np.mean(vals))
         raise DeckError(cid)
 
     def live_value(self, key: str):

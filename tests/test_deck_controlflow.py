@@ -328,3 +328,51 @@ run 20
         step, temp, two, tt = (float(v) for v in row[:4])
         assert two == 2.0
         assert abs(tt - 2.0 * temp) < 1e-4 * max(temp, 1.0)
+
+
+def test_compute_reduce(tmp_path):
+    """compute reduce sum/max over per-atom quantities and atom-style
+    variables, consumed as thermo c_ID (src/compute_reduce.cpp)."""
+    import os
+
+    import numpy as np
+
+    from lammps_le_tpu.deck import DeckRunner
+    from lammps_le_tpu.io.data import write_data
+    from lammps_le_tpu.scene import serpentine
+
+    td = str(tmp_path)
+    write_data(os.path.join(td, "d.tiny"),
+               serpentine(60, seed=1, n_atom_types=1, n_bond_types=1))
+    deck = """
+units lj
+atom_style bond
+special_bonds fene
+read_data d.tiny
+bond_style fene
+bond_coeff 1 30.0 1.5 1.0 1.0
+pair_style lj/cut 1.12
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
+fix 1 all nve
+variable ke atom vx*vx+vy*vy+vz*vz
+compute ktot all reduce sum v_ke
+compute vmax all reduce max vx
+thermo_style custom step temp c_ktot c_vmax
+thermo 10
+timestep 0.004
+run 10
+"""
+    with open(os.path.join(td, "in.r"), "w") as fh:
+        fh.write(deck)
+    rows = []
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.log = lambda msg: rows.append(msg)
+    r.run_file(os.path.join(td, "in.r"))
+    v = np.asarray(r.state.v)
+    data_rows = [l.split() for l in rows
+                 if l.split() and l.split()[0].isdigit()]
+    last = [float(t) for t in data_rows[-1]]
+    # c_ktot = sum v^2 = 3 N temp (within f32); c_vmax = max vx
+    assert abs(last[2] - (v ** 2).sum()) < 1e-3 * max((v ** 2).sum(), 1.0)
+    assert abs(last[3] - v[:, 0].max()) < 1e-5
