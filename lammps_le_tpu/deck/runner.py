@@ -574,6 +574,34 @@ class DeckRunner:
             from ..fixes import NVELimit
 
             fix = NVELimit(xmax=float(rest[0]), group=g)
+        elif style == "ave/time":
+            # fix ID group ave/time Nevery Nrepeat Nfreq input [file f]
+            # (src/fix_ave_time.cpp, scalar single-input form) — a
+            # host-side sampler riding the dump boundary contract
+            from .avetime import AveTime
+
+            nevery, nrepeat, nfreq = (int(v) for v in rest[0:3])
+            input_ = rest[3]
+            path = "ave.out"
+            tail = list(rest[4:])
+            while tail:
+                k = tail.pop(0)
+                if k == "file" and tail:
+                    path = tail.pop(0)
+                elif k == "mode" and tail:
+                    if tail.pop(0) != "scalar":
+                        raise DeckError("fix ave/time: only mode scalar")
+                else:
+                    raise DeckError(f"fix ave/time keyword {k!r}")
+            try:
+                av = AveTime(self, fid, nevery, nrepeat, nfreq, input_,
+                             os.path.join(self.root, path))
+            except ValueError as e:
+                raise DeckError(str(e)) from None
+            self.dumps.append(av)
+            self.fixes_host = getattr(self, "fixes_host", {})
+            self.fixes_host[fid] = av
+            return
         elif style == "langevin":
             kw = dict(zero=False)
             tail = list(rest[4:])
@@ -675,6 +703,10 @@ class DeckRunner:
 
     def cmd_unfix(self, args):
         self.fixes.pop(args[0], None)
+        host = getattr(self, "fixes_host", {})
+        if args[0] in host:
+            self.dumps = [d for d in self.dumps
+                          if d is not host.pop(args[0])]
         self._dirty = True
 
     # ------------------------------------------------------------------

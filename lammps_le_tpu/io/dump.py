@@ -43,6 +43,10 @@ class DumpSpec:
 
 
 def write_frame(spec: DumpSpec, state, system):
+    if hasattr(spec, "sample"):
+        # boundary samplers (fix ave/time) ride the dump-cadence contract
+        spec.sample(state, system)
+        return
     fh = spec.open()
     n = system.n
     x = np.asarray(state.x)

@@ -376,3 +376,46 @@ run 10
     # c_ktot = sum v^2 = 3 N temp (within f32); c_vmax = max vx
     assert abs(last[2] - (v ** 2).sum()) < 1e-3 * max((v ** 2).sum(), 1.0)
     assert abs(last[3] - v[:, 0].max()) < 1e-5
+
+
+def test_fix_ave_time(tmp_path):
+    """fix ave/time: averaged c_ID series at the Nfreq schedule
+    (src/fix_ave_time.cpp scalar form)."""
+    import os
+
+    import numpy as np
+
+    from lammps_le_tpu.deck import DeckRunner
+    from lammps_le_tpu.io.data import write_data
+    from lammps_le_tpu.scene import serpentine
+
+    td = str(tmp_path)
+    write_data(os.path.join(td, "d.tiny"),
+               serpentine(60, seed=1, n_atom_types=1, n_bond_types=1))
+    deck = """
+units lj
+atom_style bond
+special_bonds fene
+read_data d.tiny
+bond_style fene
+bond_coeff 1 30.0 1.5 1.0 1.0
+pair_style lj/cut 1.12
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
+fix 1 all nve
+compute t all temp
+fix avg all ave/time 5 3 20 c_t file temp.ave
+timestep 0.004
+run 40
+"""
+    with open(os.path.join(td, "in.a"), "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(os.path.join(td, "in.a"))
+    lines = [l for l in open(os.path.join(td, "temp.ave")).read().splitlines()
+             if not l.startswith("#")]
+    # rows at steps 20 and 40, each the mean of samples at N-10, N-5, N
+    assert [int(l.split()[0]) for l in lines] == [20, 40]
+    for l in lines:
+        v = float(l.split()[1])
+        assert 0.1 < v < 3.0  # a plausible temperature average
