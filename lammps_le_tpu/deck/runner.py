@@ -697,7 +697,10 @@ class DeckRunner:
             st = FIX_STYLES.get(style)
             if st is None or st.parse is None:
                 raise DeckError(f"unsupported fix style {style}")
-            fix = st.parse(g, rest)
+            try:
+                fix = st.parse(g, rest)
+            except ValueError as e:
+                raise DeckError(str(e)) from None
         self.fixes[fid] = fix
         self._dirty = True
 
@@ -861,6 +864,36 @@ class DeckRunner:
     def _apply_velocity_cmds(self):
         for args in self.velocity_cmds:
             group, style = args[0], args[1]
+            if style in ("scale", "zero"):
+                # velocity.cpp scale()/zero(): rescale group temperature /
+                # subtract the group COM velocity
+                v = np.asarray(self.state.v).copy()
+                if group == "all":
+                    mask = np.ones(self.system.n, bool)
+                else:
+                    groups = self._resolved_groups()
+                    if group not in groups:
+                        raise DeckError(
+                            f"velocity: undefined group {group!r}")
+                    mask = np.asarray(groups[group], bool)
+                if not mask.any():
+                    continue
+                if style == "scale":
+                    t_tgt = float(args[2])
+                    ke = (v[mask] ** 2).sum()
+                    ndof = 3 * int(mask.sum()) - 3
+                    t_cur = ke / max(ndof, 1)
+                    if t_cur > 0:
+                        v[mask] *= np.sqrt(t_tgt / t_cur)
+                else:
+                    if args[2:3] != ["linear"]:
+                        raise DeckError("velocity zero: only 'linear'")
+                    v[mask] -= v[mask].mean(axis=0)
+                import jax.numpy as _jnp
+
+                self.state = self.state.replace(
+                    v=_jnp.asarray(v, self.state.v.dtype))
+                continue
             if style != "create":
                 raise DeckError(f"unsupported velocity style {style}")
             t_target, seed = float(args[2]), int(args[3])
@@ -1127,6 +1160,18 @@ class DeckRunner:
                         mask[int(lo) - 1 : int(hi)] = True
                     else:
                         mask[int(s) - 1] = True
+            elif style == "region":
+                # membership at resolve time (group.cpp region style is
+                # also a static snapshot)
+                rid = rest[0]
+                if rid not in self.regions:
+                    raise DeckError(f"group region: undefined {rid!r}")
+                _, bb = self.regions[rid]
+                x = (np.asarray(self.state.x) if self.state is not None
+                     else self.data.x)
+                mask = ((x[:, 0] >= bb[0]) & (x[:, 0] <= bb[1])
+                        & (x[:, 1] >= bb[2]) & (x[:, 1] <= bb[3])
+                        & (x[:, 2] >= bb[4]) & (x[:, 2] <= bb[5]))
             else:
                 raise DeckError(f"unsupported group style {style}")
             out[name] = mask

@@ -6,3 +6,4 @@ from .config import (  # noqa: F401
     Langevin,
     NVELimit,
 )
+from .momentum import Momentum  # noqa: F401,E402  (registers the style)

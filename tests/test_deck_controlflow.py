@@ -419,3 +419,99 @@ run 40
     for l in lines:
         v = float(l.split()[1])
         assert 0.1 < v < 3.0  # a plausible temperature average
+
+
+def test_velocity_scale_zero_and_fix_momentum(tmp_path):
+    """velocity scale/zero styles (velocity.cpp) and fix momentum
+    (fix_momentum.cpp end_of_step COM zeroing via the fix registry)."""
+    import os
+
+    import numpy as np
+
+    from lammps_le_tpu.deck import DeckRunner
+    from lammps_le_tpu.io.data import write_data
+    from lammps_le_tpu.scene import serpentine
+
+    td = str(tmp_path)
+    write_data(os.path.join(td, "d.tiny"),
+               serpentine(60, seed=1, n_atom_types=1, n_bond_types=1))
+    deck = """
+units lj
+atom_style bond
+special_bonds fene
+read_data d.tiny
+bond_style fene
+bond_coeff 1 30.0 1.5 1.0 1.0
+pair_style lj/cut 1.12
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.4 87287
+velocity all scale 0.7
+velocity all zero linear
+fix 1 all nve
+fix m all momentum 5 linear 1 1 1
+timestep 0.004
+run 10
+"""
+    # arithmetic check at run 0: scale sets the group temp exactly,
+    # zero kills the COM
+    with open(os.path.join(td, "in.m0"), "w") as fh:
+        fh.write(deck.replace("run 10", "run 0"))
+    r0 = DeckRunner(dtype="float64", quiet=True)
+    r0.run_file(os.path.join(td, "in.m0"))
+    v0 = np.asarray(r0.state.v)
+    assert np.abs(v0.mean(axis=0)).max() < 1e-12
+    t0 = (v0 ** 2).sum() / (3 * 60 - 3)
+    assert abs(t0 - 0.7) < 0.02, t0  # zeroing shaves the COM dof
+
+    with open(os.path.join(td, "in.m"), "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float64", quiet=True)
+    r.run_file(os.path.join(td, "in.m"))
+    v = np.asarray(r.state.v)
+    # step 10 is a momentum-fix multiple: COM velocity freshly zeroed
+    assert np.abs(v.mean(axis=0)).max() < 1e-12
+
+
+def test_group_region(tmp_path):
+    """group ID region RID: membership snapshot from a block region
+    (group.cpp region style)."""
+    import os
+
+    import numpy as np
+
+    from lammps_le_tpu.deck import DeckRunner
+    from lammps_le_tpu.io.data import write_data
+    from lammps_le_tpu.scene import serpentine
+
+    td = str(tmp_path)
+    data = serpentine(60, seed=1, n_atom_types=1, n_bond_types=1)
+    write_data(os.path.join(td, "d.tiny"), data)
+    hx = data.box_hi[0] / 2
+    deck = f"""
+units lj
+atom_style bond
+special_bonds fene
+read_data d.tiny
+bond_style fene
+bond_coeff 1 30.0 1.5 1.0 1.0
+pair_style lj/cut 1.12
+pair_coeff * * 1.0 1.0 1.12
+region left block 0 {hx} 0 100 0 100
+group lg region left
+velocity all create 1.0 87287
+fix 1 all nve
+run 0
+"""
+    with open(os.path.join(td, "in.g"), "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(os.path.join(td, "in.g"))
+    groups = r._resolved_groups()
+    x = np.asarray(r.state.x)
+    expect = x[:, 0] <= hx
+    got = np.asarray(groups["lg"], bool)
+    # region groups snapshot membership by position
+    assert (got == ((x[:, 0] >= 0) & expect
+                    & (x[:, 1] >= 0) & (x[:, 1] <= 100)
+                    & (x[:, 2] >= 0) & (x[:, 2] <= 100))).all()
+    assert 0 < got.sum() < 60
