@@ -733,13 +733,24 @@ class DeckRunner:
         eps = np.zeros((nt, nt))
         sig = np.ones((nt, nt))
         cut = np.full((nt, nt), self.pair_global_cutoff)
+        seen = np.zeros((nt, nt), bool)
         for (ti, tj), (e, s, rc) in self.pair_coeffs.items():
             for a in self._resolve_types(ti):
                 for b in self._resolve_types(tj):
                     eps[a - 1, b - 1] = eps[b - 1, a - 1] = e
                     sig[a - 1, b - 1] = sig[b - 1, a - 1] = s
+                    seen[a - 1, b - 1] = seen[b - 1, a - 1] = True
                     if rc is not None:
                         cut[a - 1, b - 1] = cut[b - 1, a - 1] = rc
+        # geometric mixing for unset off-diagonal pairs when both
+        # diagonals are set (lj/cut default, src/pair.cpp mix_energy /
+        # mix_distance with mix geometric)
+        for a in range(nt):
+            for b in range(a + 1, nt):
+                if not seen[a, b] and seen[a, a] and seen[b, b]:
+                    eps[a, b] = eps[b, a] = np.sqrt(eps[a, a] * eps[b, b])
+                    sig[a, b] = sig[b, a] = np.sqrt(sig[a, a] * sig[b, b])
+                    cut[a, b] = cut[b, a] = min(cut[a, a], cut[b, b])
         return PairLJCut(epsilon=eps, sigma=sig, cutoff=cut, shift=self.pair_shift)
 
     def _build_bonds(self):

@@ -154,3 +154,33 @@ def test_atom_variable_errors(tmp_path):
     r = DeckRunner(dtype="float32", quiet=True)
     with pytest.raises(DeckError):
         r.run_file(os.path.join(td, "in.tiny"))
+
+
+def test_pair_mixing_geometric(tmp_path):
+    """Unset off-diagonal pair coeffs mix geometrically from the
+    diagonals (pair.cpp mix geometric, the lj/cut default)."""
+    import numpy as np
+
+    r = DeckRunner(dtype="float32", quiet=True)
+    td = str(tmp_path)
+    _write_tiny(td)
+    r.root = td
+    for cmd, args in [
+        ("units", ["lj"]), ("atom_style", ["bond"]),
+        ("special_bonds", ["fene"]), ("read_data", ["data.tiny"]),
+        ("bond_style", ["hybrid"]),
+        ("bond_coeff", ["1", "fene", "30.0", "1.5", "1.0", "1.0"]),
+        ("bond_coeff", ["2", "harmonic", "10.0", "1.1"]),
+        ("pair_style", ["lj/cut", "1.12"]),
+        ("pair_coeff", ["1", "1", "1.0", "1.0"]),
+        ("pair_coeff", ["2", "2", "4.0", "2.0"]),
+        ("pair_coeff", ["3", "3", "1.0", "1.0"]),
+        ("pair_coeff", ["4", "4", "1.0", "1.0"]),
+        ("fix", ["1", "all", "nve"]),
+        ("run", ["0"]),
+    ]:
+        r.command(cmd, args)
+    p = r.system.pair
+    assert abs(p.epsilon[0, 1] - 2.0) < 1e-12      # sqrt(1*4)
+    assert abs(p.sigma[0, 1] - np.sqrt(2.0)) < 1e-12
+    assert p.epsilon[0, 0] == 1.0 and p.epsilon[1, 1] == 4.0
