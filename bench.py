@@ -29,8 +29,37 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _pallas_hw_probe(timeout_s: float) -> bool:
+    """Probe the fused kernel in a SUBPROCESS before this process touches
+    the TPU: an on-device Mosaic hang (round 2's stencil kernel deadlocked
+    despite green interpret-mode parity) must cost the probe, not the
+    benchmark.  Returns True when the kernel executed and synced."""
+    import os
+    import subprocess
+
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "benchmarks", "pallas_probe.py")
+    try:
+        p = subprocess.run([sys.executable, probe], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        log("pallas probe TIMED OUT — falling back to the XLA chain")
+        return False
+    ok = p.returncode == 0 and "PROBE_OK" in p.stdout
+    if not ok:
+        log(f"pallas probe failed (rc={p.returncode}):\n"
+            f"{p.stderr[-2000:]}\nfalling back to the XLA chain")
+    return ok
+
+
 def main():
     quick = "--quick" in sys.argv
+    import os
+
+    if os.environ.get("LLE_PALLAS_STEP", "1") != "0" \
+            and os.environ.get("LLE_BENCH_PROBE", "1") != "0":
+        if not _pallas_hw_probe(420 if quick else 900):
+            os.environ["LLE_PALLAS_STEP"] = "0"
     import jax
     import jax.numpy as jnp
 
