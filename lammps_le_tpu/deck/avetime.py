@@ -42,7 +42,14 @@ class AveTime:
         r = self.runner
         inp = self.input
         if inp.startswith("c_"):
-            return float(r._compute_value(inp[2:], state))
+            # some compute branches (pressure) read r.state internally —
+            # swap in the SAMPLED state for the evaluation
+            saved = r.state
+            r.state = state
+            try:
+                return float(r._compute_value(inp[2:], state))
+            finally:
+                r.state = saved
         if inp.startswith("v_"):
             name = inp[2:]
             saved = r.state

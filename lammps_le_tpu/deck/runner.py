@@ -707,9 +707,10 @@ class DeckRunner:
     def cmd_unfix(self, args):
         self.fixes.pop(args[0], None)
         host = getattr(self, "fixes_host", {})
-        if args[0] in host:
-            self.dumps = [d for d in self.dumps
-                          if d is not host.pop(args[0])]
+        av = host.pop(args[0], None)
+        if av is not None:
+            self.dumps = [d for d in self.dumps if d is not av]
+            av.close()
         self._dirty = True
 
     # ------------------------------------------------------------------
@@ -750,7 +751,8 @@ class DeckRunner:
                 if not seen[a, b] and seen[a, a] and seen[b, b]:
                     eps[a, b] = eps[b, a] = np.sqrt(eps[a, a] * eps[b, b])
                     sig[a, b] = sig[b, a] = np.sqrt(sig[a, a] * sig[b, b])
-                    cut[a, b] = cut[b, a] = min(cut[a, a], cut[b, b])
+                    # mix_distance geometric (pair.cpp; lj/cut init_one)
+                    cut[a, b] = cut[b, a] = np.sqrt(cut[a, a] * cut[b, b])
         return PairLJCut(epsilon=eps, sigma=sig, cutoff=cut, shift=self.pair_shift)
 
     def _build_bonds(self):
@@ -889,17 +891,25 @@ class DeckRunner:
                     mask = np.asarray(groups[group], bool)
                 if not mask.any():
                     continue
+                m_at = np.asarray(self.system.masses)[
+                    np.asarray(self.state.type)][:, None]
+                boltz = self.system.units.boltz
                 if style == "scale":
+                    # velocity.cpp scale(): mass-weighted KE over the
+                    # group's dof, same convention as thermo temp
                     t_tgt = float(args[2])
-                    ke = (v[mask] ** 2).sum()
+                    ke = (m_at[mask] * v[mask] ** 2).sum()
                     ndof = 3 * int(mask.sum()) - 3
-                    t_cur = ke / max(ndof, 1)
+                    t_cur = ke / (max(ndof, 1) * boltz)
                     if t_cur > 0:
                         v[mask] *= np.sqrt(t_tgt / t_cur)
                 else:
                     if args[2:3] != ["linear"]:
                         raise DeckError("velocity zero: only 'linear'")
-                    v[mask] -= v[mask].mean(axis=0)
+                    # mass-weighted COM velocity (velocity.cpp zero_momentum)
+                    vcm = ((m_at[mask] * v[mask]).sum(axis=0)
+                           / m_at[mask].sum())
+                    v[mask] -= vcm
                 import jax.numpy as _jnp
 
                 self.state = self.state.replace(

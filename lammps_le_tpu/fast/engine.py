@@ -183,17 +183,9 @@ class FastState:
     # check_distance analog, src/neighbor.cpp:1933-1962, with a one-step
     # lag the 0.75 factor absorbs)
     skin_pend: jax.Array = None
-    # Extruder-spring partition for the fused kernel (computed at rebuild;
-    # cells are frozen between rebuilds so stencil visibility is static
-    # per window):
-    #   ex_part () int32: 1 = partition valid — the kernel applies spring
-    #     forces to every pid-matched pair it can see (anchor cells
-    #     adjacent at rebuild) and the XLA gather/scatter pass covers ONLY
-    #     ``ex_far`` springs; 0 = legacy mode, XLA pass covers everything.
-    #   ex_far (E,) bool: anchor cells non-adjacent at rebuild (stretched
-    #     post-event springs, overflow-dropped anchors) — invisible to the
-    #     stencil, handled by the XLA pass.  Usually all-False, which lets
-    #     the per-step pass collapse to a cond'd no-op.
+    # (the rebuild-time ex_part/ex_far spring-visibility partition was
+    # superseded by the cached block tables below — every active spring
+    # is covered by the in-kernel block pass each step)
     # () int32 run counters (the reference prints neighbor-build counts in
     # its Performance summary, src/finish.cpp): rebuilds since to_fast, and
     # device launches on the multi-step pallas path (launches << steps is

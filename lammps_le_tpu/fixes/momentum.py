@@ -26,12 +26,19 @@ class Momentum:
 
 
 def _momentum_end_of_step(system, fix):
-    sel = jnp.asarray(fix.linear, jnp.float32)
+    import numpy as np
+
+    sel = np.asarray(fix.linear, np.float64)
 
     def hook(state, step_no):
         fire = (step_no % fix.nevery) == 0
-        mean = jnp.mean(state.v, axis=0) * sel.astype(state.v.dtype)
-        v = jnp.where(fire, state.v - mean, state.v)
+        # mass-weighted COM velocity (fix_momentum.cpp: vcm = sum(m v) /
+        # masstotal) — unweighted mean would leave momentum nonzero for
+        # mixed masses
+        m = jnp.asarray(system.masses, state.v.dtype)[state.type][:, None]
+        vcm = jnp.sum(m * state.v, axis=0) / jnp.sum(m)
+        vcm = vcm * jnp.asarray(sel, state.v.dtype)
+        v = jnp.where(fire, state.v - vcm, state.v)
         return state.replace(v=v)
 
     return hook

@@ -274,6 +274,15 @@ def system_from_data(
                 and np.all(a[:, 3] - a[:, 2] == 1)):
             raise ValueError(
                 "Angles must be consecutive chain triplets (i-1, i, i+1)")
+        # both arms must be real backbone bonds — an angle spanning a
+        # chain break would otherwise be silently zeroed by the force
+        # pass's prev/next mask (reference LAMMPS computes such an angle,
+        # so accepting it silently would be a parity hole)
+        if not (np.all(next_bead[a[:, 1]] == a[:, 2])
+                and np.all(next_bead[a[:, 2]] == a[:, 3])):
+            raise ValueError(
+                "Angles must span existing backbone bonds (a triplet "
+                "crosses a chain break)")
         angle_center = np.full(data.n_atoms, -1, np.int32)
         angle_center[a[:, 2]] = a[:, 0].astype(np.int32)
     system = build_system(
