@@ -148,6 +148,61 @@ class DeckRunner:
         self.timestep0 = 0
         self._dirty = True
 
+    def cmd_replicate(self, args):
+        """replicate nx ny nz — tile the read system into a larger box
+        (src/replicate.cpp; how the reference's scaled benchmarks grow,
+        bench/in.chain.scaled).  Atom ids of image m are offset by m*N so
+        the chain-consecutiveness invariant survives; molecules renumber
+        per image."""
+        if self.data is None:
+            raise DeckError("replicate before read_data")
+        import dataclasses as _dc
+
+        nx, ny, nz = (int(a) for a in args[:3])
+        if nx < 1 or ny < 1 or nz < 1:
+            raise DeckError("replicate factors must be >= 1")
+        if nx == ny == nz == 1:
+            return
+        d = self.data
+        n = d.n_atoms
+        box = np.asarray(d.box_hi) - np.asarray(d.box_lo)
+        shifts = [(i, j, k) for i in range(nx) for j in range(ny)
+                  for k in range(nz)]
+        m_tot = len(shifts)
+        xs, mols, bonds, angles = [], [], [], []
+        nmol = int(np.max(d.molecule)) + 1 if n else 0
+        for m, (i, j, k) in enumerate(shifts):
+            xs.append(np.asarray(d.x) + box * np.asarray([i, j, k]))
+            mols.append(np.asarray(d.molecule) + m * nmol)
+            if len(d.bonds):
+                b = np.asarray(d.bonds).copy()
+                b[:, 1:] += m * n
+                bonds.append(b)
+            if d.angles is not None and d.n_angles:
+                a = np.asarray(d.angles).copy()
+                a[:, 1:] += m * n
+                angles.append(a)
+        self.data = _dc.replace(
+            d,
+            n_atoms=n * m_tot,
+            n_bonds=d.n_bonds * m_tot,
+            box_hi=tuple(np.asarray(d.box_lo)
+                         + box * np.asarray([nx, ny, nz])),
+            x=np.concatenate(xs, axis=0),
+            v=(np.concatenate([np.asarray(d.v)] * m_tot, axis=0)
+               if d.v is not None else None),
+            types=np.concatenate([np.asarray(d.types)] * m_tot),
+            molecule=np.concatenate(mols),
+            image=np.concatenate([np.asarray(d.image)] * m_tot, axis=0),
+            bonds=(np.concatenate(bonds, axis=0) if bonds
+                   else np.zeros((0, 3), np.int64)),
+            n_angles=d.n_angles * m_tot,
+            angles=(np.concatenate(angles, axis=0) if angles else None),
+        )
+        self.timestep0 = 0
+        self.state = None
+        self._dirty = True
+
     def cmd_neighbor(self, args):
         self.skin = float(args[0])
         self._dirty = True

@@ -184,3 +184,27 @@ def test_pair_mixing_geometric(tmp_path):
     assert abs(p.epsilon[0, 1] - 2.0) < 1e-12      # sqrt(1*4)
     assert abs(p.sigma[0, 1] - np.sqrt(2.0)) < 1e-12
     assert p.epsilon[0, 0] == 1.0 and p.epsilon[1, 1] == 4.0
+
+
+def test_replicate(tmp_path):
+    """replicate nx ny nz tiles the system (src/replicate.cpp; the
+    reference's scaled benchmarks, bench/in.chain.scaled)."""
+    td = str(tmp_path)
+    _write_tiny(td)
+    deck = DECK.split("thermo 20")[0].replace(
+        "read_data data.tiny", "read_data data.tiny\nreplicate 2 1 1"
+    ) + "thermo 20\ntimestep 0.005\nrun 20\n"
+    with open(os.path.join(td, "in.rep"), "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(os.path.join(td, "in.rep"))
+    assert r.system.n == 600
+    assert int(r.state.flags) == 0, hex(int(r.state.flags))
+    # per-image chains intact: 600 beads with the same per-molecule
+    # backbone structure (bond count doubled)
+    nxt = r.system.next_bead
+    assert (nxt[:299] >= 0).sum() + (nxt[300:599] >= 0).sum() == \
+        (np.asarray(nxt) >= 0).sum()
+    # box doubled along x
+    assert abs(r.system.box_size[0] - 2 * 9.6) < 1e-9 or \
+        r.system.box_size[0] > r.system.box_size[1]
