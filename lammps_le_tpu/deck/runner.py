@@ -165,14 +165,19 @@ class DeckRunner:
             return
         d = self.data
         n = d.n_atoms
-        box = np.asarray(d.box_hi) - np.asarray(d.box_lo)
+        lo = np.asarray(d.box_lo)
+        box = np.asarray(d.box_hi) - lo
+        # tile UNWRAPPED coordinates (replicate.cpp uses image flags the
+        # same way): a bond wrapped across the old periodic boundary
+        # would otherwise span half the new box and snap
+        xu = np.asarray(d.x) + np.asarray(d.image) * box
         shifts = [(i, j, k) for i in range(nx) for j in range(ny)
                   for k in range(nz)]
         m_tot = len(shifts)
         xs, mols, bonds, angles = [], [], [], []
         nmol = int(np.max(d.molecule)) + 1 if n else 0
         for m, (i, j, k) in enumerate(shifts):
-            xs.append(np.asarray(d.x) + box * np.asarray([i, j, k]))
+            xs.append(xu + box * np.asarray([i, j, k]))
             mols.append(np.asarray(d.molecule) + m * nmol)
             if len(d.bonds):
                 b = np.asarray(d.bonds).copy()
@@ -182,18 +187,21 @@ class DeckRunner:
                 a = np.asarray(d.angles).copy()
                 a[:, 1:] += m * n
                 angles.append(a)
+        new_box = box * np.asarray([nx, ny, nz])
+        xall = np.concatenate(xs, axis=0)
+        img_new = np.floor((xall - lo) / new_box).astype(np.int32)
+        x_new = xall - img_new * new_box
         self.data = _dc.replace(
             d,
             n_atoms=n * m_tot,
             n_bonds=d.n_bonds * m_tot,
-            box_hi=tuple(np.asarray(d.box_lo)
-                         + box * np.asarray([nx, ny, nz])),
-            x=np.concatenate(xs, axis=0),
+            box_hi=tuple(lo + new_box),
+            x=x_new,
             v=(np.concatenate([np.asarray(d.v)] * m_tot, axis=0)
                if d.v is not None else None),
             types=np.concatenate([np.asarray(d.types)] * m_tot),
             molecule=np.concatenate(mols),
-            image=np.concatenate([np.asarray(d.image)] * m_tot, axis=0),
+            image=img_new,
             bonds=(np.concatenate(bonds, axis=0) if bonds
                    else np.zeros((0, 3), np.int64)),
             n_angles=d.n_angles * m_tot,

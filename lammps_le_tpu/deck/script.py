@@ -161,6 +161,12 @@ class ScriptInterpreter:
             # reference: re-declaring an in-progress index/loop variable
             # is a no-op so loops re-entered via jump keep their position
             return
+        if style in ("index", "loop") and name in self.vars:
+            # -var command-line definitions take precedence: an index/
+            # loop declaration for an existing variable is skipped
+            # (variable.cpp:160-170 — how in.chain.scaled's defaults are
+            # overridden by -var x 2)
+            return
         if style == "equal":
             expr = " ".join(args[2:])
             if _LIVE_RE.search(expr):

@@ -56,3 +56,26 @@ def test_chain_step0_thermo_matches_reference_log():
     assert abs(float(row.etotal) / n - EXPECTED["etotal"]) < 2e-5
     press = float(make_pressure_fn(system)(state))
     assert abs(press - EXPECTED["press"]) < 2e-5
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(REF, "in.chain.scaled")),
+                    reason="reference tree not mounted")
+def test_chain_scaled_deck_runs_asis(tmp_path):
+    """The reference's weak-scaling deck (bench/in.chain.scaled: index
+    variables + atom_modify + replicate $x $y $z) executes unchanged."""
+    from lammps_le_tpu.deck import DeckRunner
+
+    deck = open(os.path.join(REF, "in.chain.scaled")).read()
+    # shrink the run for the 1-core test host; everything else verbatim
+    deck = deck.replace("run\t\t100", "run 5").replace("run 100", "run 5")
+    import shutil
+
+    p = os.path.join(str(tmp_path), "in.scaled")
+    with open(p, "w") as fh:
+        fh.write(deck)
+    shutil.copy(os.path.join(REF, "data.chain"), str(tmp_path))
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(p, variables={"x": "2", "y": "1", "z": "1"})
+    assert r.system.n == 64000  # 32000 replicated 2x1x1
+    assert int(r.state.step) == 5
+    assert int(r.state.flags) == 0, hex(int(r.state.flags))
