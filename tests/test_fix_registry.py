@@ -3,7 +3,7 @@ plugs into the traced step at the Modify lifecycle points and into the
 deck parser — the TPU analog of dropping a FixFoo class into src/ and the
 fix_map factory (src/modify.cpp:789; hook mask fix.h:248-264).
 
-The example style is ``viscous`` (reference: src/fix_viscous.cpp — a
+The example style is ``dragx`` (a clone of src/fix_viscous.cpp — a
 POST_FORCE drag f -= gamma*v), which the built-in set does not cover.
 """
 
@@ -33,12 +33,12 @@ from helpers import fene_harmonic_bonds, lj_pair_params
 
 
 @dataclasses.dataclass(frozen=True)
-class Viscous:
+class Drag:
     gamma: float
     group: str = None
 
 
-def _viscous_post_force(system, fix):
+def _drag_post_force(system, fix):
     def hook(state, f, step_no):
         return f - fix.gamma * state.v
 
@@ -47,11 +47,11 @@ def _viscous_post_force(system, fix):
 
 @pytest.fixture(scope="module", autouse=True)
 def _registered():
-    if "viscous" not in FIX_STYLES:
+    if "dragx" not in FIX_STYLES:
         register_fix_style(
-            "viscous", Viscous,
-            parse=lambda group, args: Viscous(float(args[0]), group=group),
-            post_force=_viscous_post_force,
+            "dragx", Drag,
+            parse=lambda group, args: Drag(float(args[0]), group=group),
+            post_force=_drag_post_force,
         )
     yield
 
@@ -81,7 +81,7 @@ def test_registered_hook_runs_in_step():
     state = state.replace(v=jnp.asarray(v0))
 
     sim_drag = Simulation(system=system, dt=0.005,
-                          fixes=(NVE(), Viscous(2.0)))
+                          fixes=(NVE(), Drag(2.0)))
     sim_free = Simulation(system=system, dt=0.005, fixes=(NVE(),))
     s_drag, _ = run(sim_drag, state, 100)
     s_free, _ = run(sim_free, state, 100)
@@ -105,7 +105,7 @@ def test_unregistered_fix_rejected():
 
 
 def test_deck_parses_registered_style(tmp_path):
-    """`fix 2 all viscous 0.5` parses through the registry and runs."""
+    """`fix 2 all dragx 0.5` parses through the registry and runs."""
     td = str(tmp_path)
     data = serpentine(60, seed=7, n_atom_types=1, n_bond_types=2)
     write_data(os.path.join(td, "data.tiny"), data)
@@ -121,7 +121,7 @@ pair_style lj/cut 1.12
 pair_coeff * * 1.0 1.0 1.12
 velocity all create 1.0 87287
 fix 1 all nve
-fix drag all viscous 5.0
+fix drag all dragx 5.0
 timestep 0.005
 run 80
 """
@@ -130,15 +130,15 @@ run 80
         fh.write(deck)
     r = DeckRunner(dtype="float64", quiet=True, root=td)
     r.run_file(path)
-    assert isinstance(r.fixes["drag"], Viscous)
+    assert isinstance(r.fixes["drag"], Drag)
     assert r.fixes["drag"].gamma == 5.0
-    assert style_of(r.fixes["drag"]).name == "viscous"
+    assert style_of(r.fixes["drag"]).name == "dragx"
     # the hook really acted: same deck without the drag fix ends hotter
     # (the packed random-walk start releases potential energy; drag
     # dissipates it)
     r2 = DeckRunner(dtype="float64", quiet=True, root=td)
     with open(path) as fh:
-        deck2 = fh.read().replace("fix drag all viscous 5.0\n", "")
+        deck2 = fh.read().replace("fix drag all dragx 5.0\n", "")
     path2 = os.path.join(td, "in2.deck")
     with open(path2, "w") as fh:
         fh.write(deck2)
@@ -154,5 +154,27 @@ def test_fast_path_declines_custom_fix():
     from lammps_le_tpu.fast.engine import fast_supported
 
     system, x = _tiny()
-    sim = Simulation(system=system, dt=0.005, fixes=(NVE(), Viscous(1.0)))
+    sim = Simulation(system=system, dt=0.005, fixes=(NVE(), Drag(1.0)))
     assert not fast_supported(sim)
+
+
+def test_shipped_viscous_drains_energy():
+    """The SHIPPED fix viscous (fixes/viscous.py, src/fix_viscous.cpp)
+    drains kinetic energy under NVE."""
+    import jax.numpy as jnp
+
+    from lammps_le_tpu.fixes import Viscous as ShippedViscous
+
+    system, x = _tiny()
+    state = init_state(system, x, seed=3)
+    import jax
+
+    v0 = jax.random.normal(jax.random.PRNGKey(0), state.v.shape,
+                           state.v.dtype)
+    state = state.replace(v=v0)
+    sim = Simulation(system=system, dt=0.004,
+                     fixes=(NVE(), ShippedViscous(5.0)))
+    out, _ = run(sim, state, 60)
+    ke0 = float(jnp.sum(v0 ** 2))
+    ke1 = float(jnp.sum(out.v ** 2))
+    assert ke1 < 0.5 * ke0, (ke0, ke1)
