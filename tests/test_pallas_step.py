@@ -247,3 +247,31 @@ def test_kernel_cache_keys_spring_physics(melt32):
     # 10x stiffer springs on stretched extruder bonds must change the
     # bond energy (stale-cache reuse would make these identical)
     assert abs(eb_hard - eb_soft) > 1e-3, (eb_soft, eb_hard)
+
+
+def test_quiet_window_launch_segmentation(melt32):
+    """Long quiet windows (no LE events) exercise LAUNCH_MAX chunking,
+    the energy-step single-launch bracketing, and the cadence-40
+    rebuild backstop — segmentation must be invisible to physics
+    (trajectories equal XLA chain) and the launch counter must show
+    real amortization (launches << steps)."""
+    import dataclasses as _dc
+
+    system, state = melt32
+    sysq = system.replace(
+        neighbor=_dc.replace(system.neighbor, rebuild_every=40))
+    sim = Simulation(
+        system=sysq, dt=0.005, energy_every=25,
+        fixes=(NVE(), Langevin(1.0, 1.0, 10.0, seed=904297)),
+        ex_btype=2)
+    n = 50
+    fx = _run_core(sim, state, n, pallas=False)
+    fp = _run_core(sim, state, n, pallas="interpret")
+    assert int(fp.step) == int(fx.step)
+    sx = from_fast(fx, system)
+    sp = from_fast(fp, system)
+    assert float(jnp.max(jnp.abs(sx.x - sp.x))) < 1e-3
+    assert int(fx.flags) == int(fp.flags) == 0
+    # amortization: quiet windows must batch multiple steps per launch
+    assert int(fp.n_launches) < n, int(fp.n_launches)
+    assert abs(float(fx.epair) - float(fp.epair)) < 0.1
