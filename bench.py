@@ -52,10 +52,41 @@ def _pallas_hw_probe(timeout_s: float) -> bool:
     return ok
 
 
+def _tunnel_probe(retries: int, wait_s: float) -> bool:
+    """Tunnel-wedge insurance: the axon tunnel can wedge for hours after
+    an OOM-crashed worker, and a wedged tunnel HANGS ``jax.devices()``
+    (backend init never returns — CLAUDE.md).  Probe device discovery in
+    a bounded SUBPROCESS before this process imports jax; retry a few
+    times, then fail fast so the driver records an error instead of a
+    hung benchmark."""
+    import subprocess
+
+    for attempt in range(retries):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices())"],
+                timeout=120, capture_output=True, text=True)
+            if p.returncode == 0:
+                return True
+            log(f"tunnel probe rc={p.returncode}: {p.stderr[-500:]}")
+        except subprocess.TimeoutExpired:
+            log(f"tunnel probe {attempt + 1}/{retries} timed out "
+                "(wedged tunnel?)")
+        if attempt + 1 < retries:
+            time.sleep(wait_s)
+    return False
+
+
 def main():
     quick = "--quick" in sys.argv
     import os
 
+    if os.environ.get("LLE_BENCH_PROBE", "1") != "0" \
+            and not _tunnel_probe(retries=8, wait_s=120):
+        log("TPU tunnel unreachable — refusing to hang; rerun when the "
+            "axon worker recovers")
+        sys.exit(1)
     if os.environ.get("LLE_PALLAS_STEP", "1") != "0" \
             and os.environ.get("LLE_BENCH_PROBE", "1") != "0":
         if not _pallas_hw_probe(420 if quick else 900):
