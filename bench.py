@@ -94,6 +94,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from lammps_le_tpu.compile_cache import enable as _enable_cache
+
+    _enable_cache()  # remote Mosaic compiles are minutes; reruns reload
     from lammps_le_tpu.fast import run_fast, thermo_row_fast, to_fast
     from lammps_le_tpu.fast.engine import make_fast_segment
     from lammps_le_tpu.fixes import NVE, Extrusion, ExLoad, ExUnload, Langevin

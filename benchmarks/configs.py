@@ -24,6 +24,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from lammps_le_tpu.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
+
 REF = "/root/reference/bench"
 
 

@@ -22,6 +22,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from lammps_le_tpu.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     from lammps_le_tpu.fast import to_fast
     from lammps_le_tpu.fast.engine import make_fast_segment
     from lammps_le_tpu.fixes import (NVE, Extrusion, ExLoad, ExUnload,

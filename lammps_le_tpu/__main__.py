@@ -22,10 +22,21 @@ def main(argv=None):
     ap.add_argument("-dtype", default="float32",
                     choices=["float32", "float64"])
     ap.add_argument("-quiet", action="store_true")
+    ap.add_argument("-platform", default=None,
+                    choices=["cpu", "tpu", "gpu"],
+                    help="force a JAX backend (the axon sitecustomize "
+                         "ignores JAX_PLATFORMS; this config update is "
+                         "honored pre-init)")
     args = ap.parse_args(argv)
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from .compile_cache import enable as enable_compile_cache
     from .deck import DeckRunner
 
+    enable_compile_cache()
     runner = DeckRunner(dtype=args.dtype, quiet=args.quiet)
     if args.log:
         runner.command("log", [args.log])
