@@ -299,5 +299,31 @@ def main():
     }))
 
 
+def _main_with_vmem_insurance():
+    """The tiny-system hang probe cannot catch a scoped-VMEM compile OOM
+    at the REAL bench geometry (2026-08-18: cap 9 / P 33664 lost the
+    120 MiB cap by 1.04 MiB).  A VMEM OOM is a clean compile-time error,
+    so salvage the run by re-execing on the XLA chain instead of dying."""
+    import os
+    import subprocess
+
+    try:
+        main()
+        return
+    except Exception as e:  # noqa: BLE001 — classify, then re-raise
+        msg = str(e)
+        fused = os.environ.get("LLE_PALLAS_STEP", "1") != "0"
+        if not (fused and ("vmem" in msg.lower()
+                           or "Ran out of memory" in msg)):
+            raise
+        log(f"fused kernel VMEM OOM at bench geometry:\n{msg[-800:]}\n"
+            "re-running on the XLA chain (LLE_PALLAS_STEP=0)")
+    env = dict(os.environ, LLE_PALLAS_STEP="0", LLE_BENCH_PROBE="0")
+    # a fresh process: the failed compile leaves no usable jax state here
+    p = subprocess.run([sys.executable, os.path.abspath(__file__)]
+                       + sys.argv[1:], env=env)
+    sys.exit(p.returncode)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_vmem_insurance()

@@ -22,6 +22,9 @@ set -u
 LOG=${1:-/tmp/hw_runbook}
 mkdir -p "$LOG"
 cd "$(dirname "$0")/.."
+# scripts live in benchmarks/: python puts THAT dir on sys.path, not the
+# repo root — export the root so `import lammps_le_tpu` resolves
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 stamp() { date +%H:%M:%S; }
 

@@ -63,6 +63,8 @@ i-columns, which the interior mask kills (see engine.py halo invariants).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -715,8 +717,14 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                 pltpu.VMEM((3, cap, P), jnp.float32),   # force accumulators
                 pltpu.VMEM((4, P), jnp.float32),        # e/eb/nb/clamp rows
             ],
+            # v5e VMEM is 128 MiB/core; the default 120 MiB scoped cap
+            # lost the 100k quick-bench geometry (cap 9, P 33664) by
+            # 1.04 MiB on hardware (2026-08-18).  127 MiB leaves the
+            # compiler 1 MiB for its own reservations; override with
+            # LLE_VMEM_LIMIT_MB for other parts.
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=120 * 1024 * 1024),
+                vmem_limit_bytes=int(os.environ.get(
+                    "LLE_VMEM_LIMIT_MB", "127")) * 1024 * 1024),
             interpret=interpret,
         )
         _CALL_CACHE[cache_key] = grid_call
