@@ -349,14 +349,23 @@ class DeckRunner:
         self._dirty = True
 
     def cmd_bond_coeff(self, args):
-        bt = int(args[0])
+        if args[0] == "*":
+            # wildcard: all bond types known from the data file
+            # (reference: bond->coeff via force.cpp bounds parsing)
+            if self.data is None:
+                raise DeckError("bond_coeff * before read_data")
+            bts = range(1, self.data.n_bond_types + 1)
+        else:
+            bts = [int(args[0])]
         rest = args[1:]
         if self.bond_style == "hybrid":
-            self.bond_styles_by_type[bt] = rest[0]
+            styles = {bt: rest[0] for bt in bts}
             rest = rest[1:]
         else:
-            self.bond_styles_by_type[bt] = self.bond_style
-        self.bond_coeffs[bt] = [float(v) for v in rest]
+            styles = {bt: self.bond_style for bt in bts}
+        for bt in bts:
+            self.bond_styles_by_type[bt] = styles[bt]
+            self.bond_coeffs[bt] = [float(v) for v in rest]
         self._dirty = True
 
     def cmd_velocity(self, args):
@@ -532,6 +541,12 @@ class DeckRunner:
         if key.startswith("f_"):
             import re as _re
 
+            # bare f_ID scalar of a tallying langevin fix: the cumulative
+            # thermostat energy (FixLangevin::compute_scalar's -energy)
+            fobj = self.fixes.get(key[2:])
+            if fobj is not None and type(fobj).__name__ == "Langevin" \
+                    and fobj.tally:
+                return float(st.therm_e)
             m = _re.fullmatch(r"f_(\w+)\[([12])\]", key)
             if not m or m.group(1) not in self.fixes:
                 raise DeckError(f"unknown fix vector {key!r}")
@@ -674,10 +689,18 @@ class DeckRunner:
                     # src/fix_langevin.cpp:97-145 zeroflag: random-force
                     # sum adjusted to zero each step (general path only)
                     kw["zero"] = tail.pop(0) == "yes"
-                elif k in ("tally", "gjf"):
-                    raise DeckError(
-                        f"fix langevin {k} is unsupported (unused by LE "
-                        "decks; see SURVEY non-goals)")
+                elif k == "tally" and tail:
+                    # tallyflag: cumulative thermostat energy in f_ID
+                    # (general path only)
+                    kw["tally"] = tail.pop(0) == "yes"
+                elif k == "gjf" and tail:
+                    # Gronbech-Jensen/Farago kicks (general path only);
+                    # the reference also accepts yes/no aliases
+                    val = tail.pop(0)
+                    kw["gjf"] = {"yes": "vhalf", "no": "no"}.get(val, val)
+                    if kw["gjf"] not in ("no", "vfull", "vhalf"):
+                        raise DeckError(
+                            f"fix langevin gjf {val!r} (want no/vfull/vhalf)")
                 else:
                     raise DeckError(f"fix langevin keyword {k!r}")
             fix = Langevin(
@@ -1079,6 +1102,13 @@ class DeckRunner:
             elif m and m.group(1) in fixvec_counter:
                 cols.append(c)
                 headers.append(c)
+            elif c.startswith("f_") and "[" not in c \
+                    and type(self.fixes.get(c[2:])).__name__ == "Langevin" \
+                    and self.fixes[c[2:]].tally:
+                # bare f_ID of a tallying langevin fix: cumulative
+                # thermostat energy (FixLangevin::compute_scalar)
+                cols.append(c)
+                headers.append(c)
             elif c.startswith("v_"):
                 # equal-style variable column (thermo.cpp v_ fields);
                 # resolved at emit time so loop/live variables track
@@ -1148,6 +1178,11 @@ class DeckRunner:
                     continue
                 if c.startswith("f_"):
                     m = _re.fullmatch(r"f_(\w+)\[([12])\]", c)
+                    if m is None:  # bare f_ID: langevin tally scalar
+                        te = float(st.therm_e) * norm if st is not None \
+                            else 0.0
+                        txt.append(f"{te:>12.6g}")
+                        continue
                     counter = fixvec_counter[m.group(1)]
                     if m.group(2) == "2":
                         total = int(getattr(st, counter)) if st is not None \

@@ -250,9 +250,10 @@ def fast_supported(sim) -> bool:
                 return False
             n_nve += 1
         elif isinstance(f, Langevin):
-            if f.group is not None or f.zero:
-                # zeroflag needs a global random-force reduce per step —
-                # general path only (fixes/config.py Langevin.zero)
+            if f.group is not None or f.zero or f.tally or f.gjf != "no":
+                # zero needs a global random-force reduce per step, tally
+                # a per-step energy accumulator, gjf rewired Verlet kicks —
+                # general path only (fixes/config.py Langevin)
                 return False
             n_lan += 1
         elif isinstance(f, (Extrusion, ExLoad, ExUnload)):
@@ -787,6 +788,7 @@ def from_fast(fs: FastState, system: System) -> State:
         epair=fs.epair, ebond=fs.ebond,
         n_moves=fs.n_moves, n_loads=fs.n_loads, n_unloads=fs.n_unloads,
         last_event=fs.last_event,
+        therm_e=jnp.zeros((), x.dtype),  # tally is general-path only
         nbr=None,
     )
 

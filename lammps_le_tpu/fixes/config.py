@@ -45,6 +45,17 @@ class Langevin:
     # thermostat's COM random walk.  General path only (the fused kernel
     # would need a cross-plane reduce per step; LE decks don't use it).
     zero: bool = False
+    # ``tally yes`` (fix_langevin.cpp tallyflag): accumulate the cumulative
+    # energy the thermostat exchanged with the group into State.therm_e;
+    # ``f_ID`` thermo reports it with the reference's sign convention
+    # (compute_scalar returns -energy, fix_langevin.cpp).  General path.
+    tally: bool = False
+    # ``gjf vfull|vhalf`` (fix_langevin.cpp:97-145 gjfflag): the
+    # Gronbech-Jensen/Farago discretization — gaussian noise folded into
+    # the Verlet kicks so configurational sampling is exact at any stable
+    # dt.  "vfull" stores the on-site velocity, "vhalf" the 2GJ half-step
+    # velocity (exact kinetic temperature).  General path only.
+    gjf: str = "no"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -173,6 +173,27 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
 
     nve_fixes = [f for f in sim.fixes if isinstance(f, (NVE, NVELimit))]
     langevin_fixes = [f for f in sim.fixes if isinstance(f, Langevin)]
+    # --- GJF validation (fix_langevin.cpp:97-145 gjfflag) ---
+    gjf_list = [f for f in langevin_fixes if f.gjf != "no"]
+    if len(gjf_list) > 1:
+        raise ValueError("at most one fix langevin may use gjf")
+    gjf_fix = gjf_list[0] if gjf_list else None
+    if gjf_fix is not None:
+        if gjf_fix.gjf not in ("vfull", "vhalf"):
+            raise ValueError(
+                f"fix langevin gjf must be no/vfull/vhalf, got {gjf_fix.gjf!r}")
+        if gjf_fix.tally or gjf_fix.zero:
+            # the reference rejects the combination too (fix_langevin.cpp
+            # option validation)
+            raise ValueError("fix langevin gjf is incompatible with "
+                             "tally/zero")
+        if len(nve_fixes) != 1 or not (
+            type(nve_fixes[0]) is NVE and nve_fixes[0].group is None
+        ):
+            raise ValueError(
+                "fix langevin gjf requires exactly one group-all fix nve "
+                "(the GJF noise is folded into the Verlet kicks)")
+    gjf_lid = langevin_fixes.index(gjf_fix) if gjf_fix is not None else -1
     event_fixes = [
         f for f in sim.fixes if isinstance(f, (Extrusion, ExLoad, ExUnload))
     ]
@@ -220,28 +241,105 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
         masses = jnp.asarray(masses_np, dtype)
         m = masses[state.type][:, None]
 
+        def lan_t_target(lf):
+            # t_start -> t_stop interpolation over the run
+            # (fix_langevin.cpp:97-145: delta = (ntimestep - beginstep) /
+            # (endstep - beginstep)); callers without run bounds (direct
+            # step invocation) get t_start
+            if run_begin is None or lf.t_stop == lf.t_start:
+                return jnp.asarray(lf.t_start, dtype)
+            span = jnp.maximum((run_end - run_begin).astype(dtype), 1.0)
+            frac = jnp.clip(
+                (step_no - run_begin).astype(dtype) / span, 0.0, 1.0
+            )
+            return jnp.asarray(lf.t_start, dtype) + frac * (
+                jnp.asarray(lf.t_stop, dtype) - jnp.asarray(lf.t_start, dtype)
+            )
+
+        if gjf_fix is not None:
+            # Gronbech-Jensen/Farago coefficients (Mol. Phys. 111, 2013):
+            # with c = dt/(2 damp), a = (1-c)/(1+c) damps, b = 1/(1+c)
+            # scales the drift; the noise is a gaussian velocity impulse
+            # with Var = 2 kT dt / (damp m) entering both kicks.
+            gjf_c = dt / (2.0 * gjf_fix.damp)
+            gjf_a = (1.0 - gjf_c) / (1.0 + gjf_c)
+            gjf_b = 1.0 / (1.0 + gjf_c)
+            gjf_gm = group_mask(gjf_fix.group)
+
+            def gjf_noise(at_step):
+                key = jax.random.fold_in(
+                    jax.random.fold_in(
+                        jax.random.fold_in(state.key, at_step),
+                        (5 << 20) + gjf_lid,
+                    ),
+                    gjf_fix.seed,
+                )
+                kT = units.boltz * lan_t_target(gjf_fix)
+                sigma = jnp.sqrt(
+                    2.0 * dt * kT / (gjf_fix.damp * m * units.mvv2e)
+                )
+                return sigma * jax.random.normal(key, state.v.shape, dtype)
+
         # --- initial integrate: half kick + drift (fix_nve.cpp:64-103) ---
         v = state.v
         x = state.x
-        for f in nve_fixes:
-            gm = group_mask(f.group)
-            dv = dtf * state.f / m
-            vh = v + dv
-            if isinstance(f, NVELimit):
-                # cap the per-step displacement (fix_nve_limit.cpp)
-                vsq = jnp.sum(vh * vh, axis=-1, keepdims=True)
-                vmax = f.xmax / dt
-                scale = jnp.where(
-                    vsq > vmax * vmax, vmax / jnp.sqrt(vsq), jnp.ones_like(vsq)
-                )
-                vh = vh * scale
-            dx = dt * vh
-            if gm is None:
-                v = vh
-                x = x + dx
+        if gjf_fix is not None and gjf_fix.gjf == "vhalf":
+            # 2GJ leapfrog (Gronbech Jensen & Gronbech-Jensen, Mol. Phys.
+            # 117, 2019): v holds the half-step velocity u^{n-1/2} scaled
+            # by 1/sqrt(b), whose kinetic temperature is exact; recursion
+            #   u^n = a u^{n-1} + sqrt(b) dt f^n/m
+            #         + sqrt(b)/2 (dv^n + dv^{n+1}),   x += dt sqrt(b) u^n
+            # (derived by eliminating the on-site velocity from the GJF
+            # pair; dv^k is the velocity noise of step k).  Group beads do
+            # the whole step here; the final kick skips them.
+            sqb = gjf_b ** 0.5
+            dv_prev = gjf_noise(step_no - 1)
+            dv_cur = gjf_noise(step_no)
+            kick = dt * units.ftm2v * state.f / m
+            u_new = gjf_a * v + sqb * kick + 0.5 * sqb * (dv_prev + dv_cur)
+            vh_plain = v + dtf * state.f / m
+            if gjf_gm is None:
+                v = u_new
+                x = x + dt * sqb * u_new
             else:
-                v = jnp.where(gm, vh, v)
-                x = jnp.where(gm, x + dx, x)
+                v = jnp.where(gjf_gm, u_new, vh_plain)
+                x = x + dt * jnp.where(gjf_gm, sqb * u_new, vh_plain)
+        elif gjf_fix is not None:  # vfull: on-site velocity convention
+            # x^{n+1} = x^n + b dt (v^{n+1/2} + dv/2);
+            # v stored pre-force = a v^{n+1/2} + b dv, so the standard
+            # final half-kick with f^{n+1} completes
+            # v^{n+1} = a v^{n+1/2} + dt/2m f^{n+1} + b dv.
+            dv_cur = gjf_noise(step_no)
+            vh = v + dtf * state.f / m
+            v_drift = gjf_b * (vh + 0.5 * dv_cur)
+            v_store = gjf_a * vh + gjf_b * dv_cur
+            if gjf_gm is None:
+                v = v_store
+                x = x + dt * v_drift
+            else:
+                v = jnp.where(gjf_gm, v_store, vh)
+                x = x + dt * jnp.where(gjf_gm, v_drift, vh)
+        else:
+            for f in nve_fixes:
+                gm = group_mask(f.group)
+                dv = dtf * state.f / m
+                vh = v + dv
+                if isinstance(f, NVELimit):
+                    # cap the per-step displacement (fix_nve_limit.cpp)
+                    vsq = jnp.sum(vh * vh, axis=-1, keepdims=True)
+                    vmax = f.xmax / dt
+                    scale = jnp.where(
+                        vsq > vmax * vmax, vmax / jnp.sqrt(vsq),
+                        jnp.ones_like(vsq)
+                    )
+                    vh = vh * scale
+                dx = dt * vh
+                if gm is None:
+                    v = vh
+                    x = x + dx
+                else:
+                    v = jnp.where(gm, vh, v)
+                    x = jnp.where(gm, x + dx, x)
         state = state.replace(x=x, v=v, step=step_no)
 
         # --- post integrate: LE fixes at their staggered phases ---
@@ -321,7 +419,11 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
 
         # --- post force: langevin drag + uniform noise
         #     (fix_langevin.cpp:654-674) ---
+        tally_terms = []
         for lid, lf in enumerate(langevin_fixes):
+            if lf is gjf_fix:
+                # GJF damping/noise live in the Verlet kicks above
+                continue
             gm = group_mask(lf.group)
             key = jax.random.fold_in(
                 jax.random.fold_in(
@@ -329,21 +431,7 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
                 ),
                 lf.seed,
             )
-            # t_start -> t_stop interpolation over the run
-            # (fix_langevin.cpp:97-145: delta = (ntimestep - beginstep) /
-            # (endstep - beginstep)); callers without run bounds (direct
-            # step invocation) get t_start
-            if run_begin is None or lf.t_stop == lf.t_start:
-                t_target = jnp.asarray(lf.t_start, dtype)
-            else:
-                span = jnp.maximum((run_end - run_begin).astype(dtype), 1.0)
-                frac = jnp.clip(
-                    (step_no - run_begin).astype(dtype) / span, 0.0, 1.0
-                )
-                t_target = jnp.asarray(lf.t_start, dtype) + frac * (
-                    jnp.asarray(lf.t_stop, dtype)
-                    - jnp.asarray(lf.t_start, dtype)
-                )
+            t_target = lan_t_target(lf)
             gamma1 = -m / lf.damp / units.ftm2v
             gamma2 = (
                 jnp.sqrt(m)
@@ -364,7 +452,10 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
                                    keepdims=True) / cnt
                     fr_rand = fr_rand - mean
             fl = gamma1 * state.v + fr_rand
-            f_total = f_total + (fl if gm is None else jnp.where(gm, fl, 0.0))
+            fl = fl if gm is None else jnp.where(gm, fl, 0.0)
+            f_total = f_total + fl
+            if lf.tally:
+                tally_terms.append(fl)
 
         # --- post force: registered extension hooks ---
         for f, hook in cust_post_force:
@@ -383,7 +474,18 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
                     vsq > vmax * vmax, vmax / jnp.sqrt(vsq), jnp.ones_like(vsq)
                 )
                 vn = vn * scale
+            if gjf_fix is not None and gjf_fix.gjf == "vhalf":
+                # half-step-velocity beads completed their step in the
+                # leapfrog recursion above — no final kick for them
+                vn = v if gjf_gm is None else jnp.where(gjf_gm, v, vn)
             v = vn if gm is None else jnp.where(gm, vn, v)
+
+        # ``tally yes``: cumulative thermostat energy, reference sign
+        # (FixLangevin::compute_scalar returns -energy; end_of_step sums
+        # flangevin . v at the post-kick velocities, fix_langevin.cpp)
+        therm_e = state.therm_e
+        for fl in tally_terms:
+            therm_e = therm_e - dt * jnp.sum(fl * v)
 
         from ..state import FLAG_NON_FINITE
 
@@ -394,6 +496,7 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
             f=f_total,
             epair=fr.epair,
             ebond=fr.ebond,
+            therm_e=therm_e,
             flags=state.flags | fr.flags | nf,
         )
 

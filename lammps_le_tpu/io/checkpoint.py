@@ -21,7 +21,7 @@ MAGIC = "lammps-le-tpu-ckpt-v1"
 _FIELDS = [
     "x", "v", "f", "img", "type", "ex_left", "ex_right",
     "key", "step", "flags", "epair", "ebond",
-    "n_moves", "n_loads", "n_unloads", "last_event",
+    "n_moves", "n_loads", "n_unloads", "last_event", "therm_e",
 ]
 
 

@@ -68,6 +68,10 @@ class State:
     # the reference's f_ID[1] reports this, not a delta since the last
     # thermo row (fix_extrusion.cpp:1496-1501)
     last_event: jax.Array = None  # (3,) int32
+    # ``fix langevin tally yes`` accumulator: -sum(f_langevin . v) dt over
+    # the run (the reference's FixLangevin::compute_scalar sign,
+    # fix_langevin.cpp end_of_step); thermo f_ID reads it
+    therm_e: jax.Array = None    # () cumulative thermostat energy
     nbr: Optional[NeighborList] = None
 
     @property
@@ -115,6 +119,7 @@ def init_state(
         n_loads=jnp.zeros((), jnp.int32),
         n_unloads=jnp.zeros((), jnp.int32),
         last_event=jnp.zeros((3,), jnp.int32),
+        therm_e=jnp.zeros((), dtype),
         nbr=None,
     )
 
