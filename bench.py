@@ -29,26 +29,69 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _pallas_hw_probe(timeout_s: float) -> bool:
+def _pallas_hw_probe() -> bool:
     """Probe the fused kernel in a SUBPROCESS before this process touches
     the TPU: an on-device Mosaic hang (round 2's stencil kernel deadlocked
     despite green interpret-mode parity) must cost the probe, not the
-    benchmark.  Returns True when the kernel executed and synced."""
+    benchmark.  The probe is ``bench.py --probe`` — the EXACT bench code
+    path at tiny step counts — so (a) the VMEM-OOM/compile failure modes
+    of the REAL 100k geometry surface here, not mid-benchmark, and (b) a
+    successful probe leaves every Mosaic/XLA compile in the persistent
+    cache (compile_cache), making the main run's compiles ~free.
+
+    A flat timeout cannot distinguish "cold remote Mosaic compile, be
+    patient" (~2-5 min per kernel, serialized through the tunnel's
+    compile helper) from "kernel hung on device" (what the probe exists
+    to catch).  So the watchdog is PHASE-AWARE: the probe prints
+    PROBE_PHASE lines as it moves through the bench stages; each phase
+    may take up to the compile-inclusive budget, but the probe dies the
+    moment any single phase stalls past it.  Returns True when PROBE_OK
+    was printed and the process exited 0."""
+    import collections
     import os
+    import selectors
     import subprocess
 
-    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "benchmarks", "pallas_probe.py")
-    try:
-        p = subprocess.run([sys.executable, probe], timeout=timeout_s,
-                           capture_output=True, text=True)
-    except subprocess.TimeoutExpired:
-        log("pallas probe TIMED OUT — falling back to the XLA chain")
-        return False
-    ok = p.returncode == 0 and "PROBE_OK" in p.stdout
+    me = os.path.abspath(__file__)
+    p = subprocess.Popen([sys.executable, me, "--probe"],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+    sel = selectors.DefaultSelector()
+    sel.register(p.stdout, selectors.EVENT_READ)
+    # first marker covers imports + backend init + host-side data gen;
+    # each later phase covers its cold Mosaic/XLA compiles + execution
+    deadline = time.time() + 600.0
+    phase_budget = 1800.0
+    tail = collections.deque(maxlen=60)
+    ok = False
+    why = "probe process exited"
+    while True:
+        if p.poll() is not None:
+            for line in p.stdout:
+                tail.append(line)
+                if "PROBE_OK" in line:
+                    ok = True
+            break
+        if time.time() > deadline:
+            why = "phase watchdog expired (hung kernel?)"
+            p.kill()
+            p.wait()
+            break
+        if sel.select(timeout=5.0):
+            line = p.stdout.readline()
+            if not line:
+                continue
+            tail.append(line)
+            if line.startswith("PROBE_PHASE"):
+                log(f"probe: {line.strip()}")
+                deadline = time.time() + phase_budget
+            elif "PROBE_OK" in line:
+                ok = True
+    ok = ok and p.returncode == 0
     if not ok:
-        log(f"pallas probe failed (rc={p.returncode}):\n"
-            f"{p.stderr[-2000:]}\nfalling back to the XLA chain")
+        log(f"pallas probe failed (rc={p.returncode}, {why}):\n"
+            f"{''.join(list(tail)[-40:])[-3000:]}\n"
+            "falling back to the XLA chain")
     return ok
 
 
@@ -80,17 +123,23 @@ def _tunnel_probe(retries: int, wait_s: float) -> bool:
 
 def main():
     quick = "--quick" in sys.argv
+    probe = "--probe" in sys.argv
     import os
 
-    if os.environ.get("LLE_BENCH_PROBE", "1") != "0" \
-            and not _tunnel_probe(retries=8, wait_s=120):
-        log("TPU tunnel unreachable — refusing to hang; rerun when the "
-            "axon worker recovers")
-        sys.exit(1)
-    if os.environ.get("LLE_PALLAS_STEP", "1") != "0" \
-            and os.environ.get("LLE_BENCH_PROBE", "1") != "0":
-        if not _pallas_hw_probe(420 if quick else 900):
-            os.environ["LLE_PALLAS_STEP"] = "0"
+    def phase(name):
+        if probe:
+            print(f"PROBE_PHASE {name}", flush=True)
+
+    if not probe:
+        if os.environ.get("LLE_BENCH_PROBE", "1") != "0" \
+                and not _tunnel_probe(retries=8, wait_s=120):
+            log("TPU tunnel unreachable — refusing to hang; rerun when the "
+                "axon worker recovers")
+            sys.exit(1)
+        if os.environ.get("LLE_PALLAS_STEP", "1") != "0" \
+                and os.environ.get("LLE_BENCH_PROBE", "1") != "0":
+            if not _pallas_hw_probe():
+                os.environ["LLE_PALLAS_STEP"] = "0"
     import jax
     import jax.numpy as jnp
 
@@ -140,8 +189,9 @@ def main():
         ex_btype=2,
     )
     state = init_state(system, data.x, types=data.types, seed=11)
+    phase("thermalize")
     t0 = time.perf_counter()
-    state, _ = run_fast(warm, state, 300 if quick else 1500)
+    state, _ = run_fast(warm, state, 4 if probe else (300 if quick else 1500))
     log(f"thermalization done in {time.perf_counter()-t0:.1f}s "
         f"(incl. compile), flags={int(state.flags):#x}")
 
@@ -175,8 +225,9 @@ def main():
     )
     # settle: seeded extruder bonds inject elastic energy
     settle = Simulation(system=system, dt=0.002, fixes=sim.fixes, ex_btype=2)
+    phase("settle")
     t0 = time.perf_counter()
-    state, _ = run_fast(settle, state, 100 if quick else 400)
+    state, _ = run_fast(settle, state, 4 if probe else (100 if quick else 400))
     log(f"settle {time.perf_counter()-t0:.1f}s, flags={int(state.flags):#x}")
     state = state.replace(flags=jnp.zeros((), jnp.uint32))
 
@@ -225,8 +276,9 @@ def main():
         )
         begin = int(jax.device_get(fs.step[0]))
         b0 = jnp.asarray(begin, jnp.int32)
-        nwarm = 40
-        nmeas = 300 if quick else 1500
+        phase("measure")
+        nwarm = 2 if probe else 40
+        nmeas = 4 if probe else (300 if quick else 1500)
         bend = jnp.asarray(begin + nwarm + nmeas, jnp.int32)
         t0 = time.perf_counter()
         fs = vseg(fs, b0, nwarm, b0, bend)
@@ -264,6 +316,12 @@ def main():
             f"clamps={clamps}")
         if best is None or agg > best[1]:
             best = (R, agg, sps, temp, flags, moves, clamps, n_ex, wall)
+
+    if probe:
+        # everything the real benchmark will jit is now compiled, cached
+        # (compile_cache) and proven to EXECUTE + sync on this device
+        print("PROBE_OK", flush=True)
+        return
 
     R, agg, sps, temp, flags, moves, clamps, n_ex, wall = best
     # FENE clamps are warning-class (the reference warns per occurrence and
@@ -307,6 +365,10 @@ def _main_with_vmem_insurance():
     import os
     import subprocess
 
+    if "--probe" in sys.argv:
+        # probe subprocess: fail loudly, the parent classifies
+        main()
+        return
     try:
         main()
         return
