@@ -56,10 +56,12 @@ run_stage() {
 }
 
 # Mosaic remote compiles take ~1-5 min each; parity compiles two kernels.
+# bench runs its bench-geometry probe subprocess first (compile-heavy on
+# a cold cache), so its stages get the widest budgets.
 run_stage hw_parity 1800 python benchmarks/hw_parity.py
-run_stage bench_quick 1800 python bench.py --quick
+run_stage bench_quick 3600 python bench.py --quick
 run_stage kernel_probe 2400 python benchmarks/kernel_probe.py
-run_stage bench_full 3600 python bench.py
+run_stage bench_full 5400 python bench.py
 run_stage config6 1800 python benchmarks/configs.py 6 --quick
 
 echo "$(stamp) runbook COMPLETE"

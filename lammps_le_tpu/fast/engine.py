@@ -199,8 +199,8 @@ class FastState:
     # ex_fb = an ACTIVE spring has an overflow-dropped anchor: the
     # kernel cannot see it, so the XLA exf fallback covers all springs
     # and launches are capped at one step.
-    ex_tab: jax.Array = None     # (EPAD, 8) int32 sublane-major rows
-    ex_tabT: jax.Array = None    # (NBLK*8, EX_BLOCK) int32 lane-major
+    ex_tab: jax.Array = None     # (2*EPAD, 8) int32 stacked-anchor rows
+    ex_tabT: jax.Array = None    # (NBLK*8, 2*EX_BLOCK) int32 lane-major
     ex_nblk: jax.Array = None    # () int32 leading blocks holding springs
     ex_fb: jax.Array = None      # () bool
 
@@ -385,13 +385,18 @@ def _ex_epad(system):
 def _ex_block_table(exl_slot, exr_slot, ex_left, capP, P, cap, epad):
     """(tab, tabT, nblk, fallback) for the kernel's block spring pass.
 
-    ``tab`` is (epad, 8) int32 rows [l_row, l_col, r_row, r_col, active,
-    0, 0, 0] with ACTIVE springs compacted to the front (order-
-    preserving, so scatter-add order matches the XLA ex_pass).
-    ``tabT`` is the lane-major twin (nblk*8, EX_BLOCK): row 8b+f holds
-    field f of block b's springs as LANES — the kernel builds its
-    TRANSPOSED one-hots from these rows directly, because Mosaic can
-    neither transpose in-kernel nor concat ref slices whose offsets
+    v3 stacked-anchor layout: ``tab`` is (2*epad, 8) int32 rows
+    [row, col, active, 0...] where block b occupies rows
+    [2Wb, 2W(b+1)) as [W left anchors; W right anchors] of springs
+    bW..bW+W-1 — one one-hot/mask pair then serves BOTH sides in the
+    kernel and the roll-by-W trick yields each side's signed
+    separation (pallas_step spring pass).  ACTIVE springs are
+    compacted to the front (order-preserving, so scatter-add order
+    matches the XLA ex_pass).
+    ``tabT`` is the lane-major twin (nblk*8, 2*EX_BLOCK): row 8b+f
+    holds field f of block b's 2W anchors as LANES — the kernel builds
+    its TRANSPOSED one-hots from these rows directly, because Mosaic
+    can neither transpose in-kernel nor concat ref slices whose offsets
     differ ("offset mismatch on non-concat dimension").  The kernel
     loops only the ``nblk`` leading blocks, so a sparsely-loaded table
     costs nact, not capacity.  ``fallback``: an active spring's anchor
@@ -411,13 +416,27 @@ def _ex_block_table(exl_slot, exr_slot, ex_left, capP, P, cap, epad):
     sl = jnp.where(live, exl_slot[idx], 0)
     sr = jnp.where(live, exr_slot[idx], 0)
     okf = (live & ~fallback).astype(jnp.int32)
-    z = jnp.zeros_like(okf)
+
+    def pad_blocks(a):
+        # (e,) -> (epad,) -> (nblk_cap, W)
+        if epad - e:
+            a = jnp.concatenate(
+                [a, jnp.zeros((epad - e,), jnp.int32)])
+        return a.reshape(epad // EX_BLOCK, EX_BLOCK)
+
+    z = jnp.zeros((epad // EX_BLOCK, 2 * EX_BLOCK), jnp.int32)
+    # per-block [lefts; rights] stacking on the row axis
+    rowf = jnp.concatenate(
+        [pad_blocks(sl // P), pad_blocks(sr // P)], axis=1)
+    colf = jnp.concatenate(
+        [pad_blocks(sl % P), pad_blocks(sr % P)], axis=1)
+    actf = jnp.concatenate([pad_blocks(okf), pad_blocks(okf)], axis=1)
     tab = jnp.stack(
-        [sl // P, sl % P, sr // P, sr % P, okf, z, z, z], axis=1)
-    if epad - e:
-        tab = jnp.concatenate([tab, jnp.zeros((epad - e, 8), jnp.int32)])
-    tabT = tab.reshape(epad // EX_BLOCK, EX_BLOCK, 8).transpose(
-        0, 2, 1).reshape(-1, EX_BLOCK)
+        [rowf, colf, actf, z, z, z, z, z], axis=2
+    ).reshape(2 * epad, 8)
+    tabT = jnp.stack(
+        [rowf, colf, actf, z, z, z, z, z], axis=1
+    ).reshape(-1, 2 * EX_BLOCK)
     nblk = jnp.where(fallback, 0, -(-nok // EX_BLOCK)).astype(jnp.int32)
     return tab, tabT, nblk, fallback
 

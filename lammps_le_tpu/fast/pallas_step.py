@@ -84,15 +84,21 @@ _TF_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
 # bench config), so ~90% sit beyond stencil reach at any time — spring
 # forces CANNOT ride the dense pid-match stencil, and per-spring scalar
 # loops are O(E * plane) = ms at E ~ 500.  Instead EX_BLOCK springs at a
-# time are gathered with one-hot matmuls (row mix (W,cap)@(cap,P) at
-# HIGHEST precision — exact for one-hots — then a lane-mask reduce),
-# spring math runs elementwise over the block, and +-f scatters back
-# through STANDARD-layout (cap,W)@(W,P) matmuls whose transposed
-# one-hots come from a lane-major table twin (a 6W-row batched variant
-# spilled 227 MB of Mosaic registers; dim-0-contraction scatters forced
-# relayouts).  O(E * P) total, no launch-span restriction.  32 springs
-# per block balances loop trips against (W, P) mask VMEM (~4 MB each).
-EX_BLOCK = 32
+# time are gathered with one-hot matmuls at HIGHEST precision — exact
+# for one-hots.  v3 stacks both anchors of the block on the row axis
+# ([W lefts; W rights] = 2W=64 rows, still under the 128 MXU row pad):
+# ONE (2W,cap)@(cap,P) row-mix + lane-mask reduce per component gathers
+# BOTH sides, the per-side signed separation is xc - roll(xc, W) (top =
+# xl-xr, bottom = xr-xl), and one (cap,2W)@(2W,P) STANDARD-layout dot
+# per component scatters both reactions — 6 dots/block total.  (v2 used
+# 12 dots at W rows each, ~2 ms/step at E=500 on hardware; a 6W-row
+# all-components variant spilled 227 MB of Mosaic registers; v1's dim-0-
+# contraction scatters forced relayouts.)  O(E * P) total, no
+# launch-span restriction.  32 springs per block balances fori trips
+# against (2W, P) mask VMEM (~8 MB each at 100k); LLE_EX_BLOCK sweeps
+# the tradeoff on hardware (64 -> 2W=128 = a full MXU row pad, half the
+# fori trips, double the mask VMEM).
+EX_BLOCK = int(os.environ.get("LLE_EX_BLOCK", "32"))
 
 
 def _threefry2x32(k0, k1, c0, c1):
@@ -518,33 +524,40 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                 # accepts only DEFAULT/HIGHEST, and DEFAULT truncates
                 # positions to bf16 (gathers must be bit-exact)
                 hp = jax.lax.Precision.HIGHEST
+                W2 = 2 * EX_BLOCK
                 rows_i = jax.lax.broadcasted_iota(
-                    jnp.int32, (EX_BLOCK, cap), 1)
+                    jnp.int32, (W2, cap), 1)
                 rowsT_i = jax.lax.broadcasted_iota(
-                    jnp.int32, (cap, EX_BLOCK), 0)
+                    jnp.int32, (cap, W2), 0)
                 lane_i = jax.lax.broadcasted_iota(
-                    jnp.int32, (EX_BLOCK, P), 1)
+                    jnp.int32, (W2, P), 1)
 
                 @pl.when(ex_nblk > 0)
                 def _spring_pass():
                     def blk(b, carry):
-                        t = tab_ref[pl.ds(b * EX_BLOCK, EX_BLOCK), :]
+                        # v3 stacked-anchor block: rows [0, W) are the
+                        # block's LEFT anchors, rows [W, 2W) its RIGHT
+                        # anchors (engine._ex_block_table), so ONE
+                        # one-hot/mask pair serves both sides and the
+                        # block needs 3 gather + 3 scatter dots instead
+                        # of v2's 12 (each dot pads to 128 MXU rows
+                        # anyway, so doubling rows 32->64 is free).  The
+                        # signed per-side separation falls out of a
+                        # static half-rotation: xc - roll(xc, W) is
+                        # xl - xr on the top half and xr - xl on the
+                        # bottom — exactly each side's force direction.
+                        t = tab_ref[pl.ds(b * W2, W2), :]
                         tT = tabT_ref[pl.ds(b * 8, 8), :]
-                        A_l = (rows_i == t[:, 0:1]).astype(jnp.float32)
-                        M_l = (lane_i == t[:, 1:2]).astype(jnp.float32)
-                        A_r = (rows_i == t[:, 2:3]).astype(jnp.float32)
-                        M_r = (lane_i == t[:, 3:4]).astype(jnp.float32)
-                        am = t[:, 4:5].astype(jnp.float32)
+                        A2 = (rows_i == t[:, 0:1]).astype(jnp.float32)
+                        M2 = (lane_i == t[:, 1:2]).astype(jnp.float32)
+                        am = t[:, 2:3].astype(jnp.float32)
                         dd = []
                         for c in range(3):
-                            xl = jnp.sum(
-                                jnp.dot(A_l, ox_ref[c], precision=hp)
-                                * M_l, axis=1, keepdims=True)
-                            xr = jnp.sum(
-                                jnp.dot(A_r, ox_ref[c], precision=hp)
-                                * M_r, axis=1, keepdims=True)
+                            xc = jnp.sum(
+                                jnp.dot(A2, ox_ref[c], precision=hp)
+                                * M2, axis=1, keepdims=True)
                             L = float(box[c])
-                            dc = xl - xr
+                            dc = xc - pltpu.roll(xc, EX_BLOCK, 0)
                             dd.append(dc - L * jnp.round(dc / L))
                         rsq_s = jnp.maximum(
                             dd[0] * dd[0] + dd[1] * dd[1] + dd[2] * dd[2],
@@ -576,26 +589,23 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                                             4.0 * epshe * ssr6 * (ssr6 - 1.0)
                                             + epshe, 0.0))
                         w = fb_s * am
-                        # transposed one-hots straight from the lane-
-                        # major table rows (fields 0/2 = l_row/r_row as
-                        # lanes) — both scatter dots are then STANDARD-
-                        # layout (cap, W) @ (W, P): the v1 dim-0
-                        # contractions forced Mosaic relayouts
-                        A_lT = (rowsT_i == tT[0:1, :]).astype(jnp.float32)
-                        A_rT = (rowsT_i == tT[2:3, :]).astype(jnp.float32)
+                        # transposed one-hot straight from the lane-major
+                        # table rows (field 0 = anchor row as lanes) —
+                        # the scatter dot is STANDARD-layout
+                        # (cap, 2W) @ (2W, P): the v1 dim-0 contractions
+                        # forced Mosaic relayouts
+                        A2T = (rowsT_i == tT[0:1, :]).astype(jnp.float32)
                         for c in range(3):
-                            fc = dd[c] * w      # (W, 1) force on left
+                            # dd already carries each side's sign
                             facc_ref[c, :, :] += jnp.dot(
-                                A_lT, M_l * fc, precision=hp)
-                            facc_ref[c, :, :] += jnp.dot(
-                                A_rT, M_r * (-fc), precision=hp)
+                                A2T, M2 * (dd[c] * w), precision=hp)
                         if energy:
-                            # spread 2*sum(eb) over the lane row so the
-                            # row sum recovers it (the engine halves all
-                            # sacc energies)
+                            # each spring appears twice (both anchors), so
+                            # the row sum is 2*sum(eb) — what the engine's
+                            # halving of all sacc energies expects
                             sacc_ref[1:2, :] += (
                                 jnp.zeros((1, P), jnp.float32)
-                                + (2.0 / P) * jnp.sum(eb_s * am))
+                                + (1.0 / P) * jnp.sum(eb_s * am))
                         return carry
 
                     jax.lax.fori_loop(0, jnp.minimum(ex_nblk, NBLK), blk,
@@ -742,8 +752,9 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         appended here so all scalar plumbing stays uint32 in SMEM; steps
         inside the launch advance the counter by 4 each.
         ``ex_tab``/``ex_tabT``: spring tables (engine._ex_block_table)
-        — (EPAD, 8) rows [l_row, l_col, r_row, r_col, active, 0...] and
-        the lane-major (NBLK*8, EX_BLOCK) twin the transposed one-hots
+        — (2*EPAD, 8) stacked-anchor rows [row, col, active, 0...] (per
+        block: W left-anchor rows then W right-anchor rows) and the
+        lane-major (NBLK*8, 2*EX_BLOCK) twin the transposed one-hots
         are built from; ``ex_nblk``: leading blocks holding springs.
         ``t_target``/``t_slope``: thermostat target at ``sstep`` and its
         per-step ramp slope inside the launch.  ``limit``: max steps this
@@ -752,9 +763,9 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         if limit is None:
             limit = jnp.ones((), jnp.int32)
         if ex_tab is None:
-            ex_tab = jnp.zeros((EPAD, 8), jnp.int32)
+            ex_tab = jnp.zeros((2 * EPAD, 8), jnp.int32)
         if ex_tabT is None:
-            ex_tabT = jnp.zeros((NBLK * 8, EX_BLOCK), jnp.int32)
+            ex_tabT = jnp.zeros((NBLK * 8, 2 * EX_BLOCK), jnp.int32)
         if ex_nblk is None:
             ex_nblk = jnp.zeros((), jnp.int32)
         meta = jnp.stack([sstep, do_drift.astype(jnp.int32),
