@@ -173,11 +173,18 @@ def main():
     # skin 0.5 / cap 9 beat skin 0.3 / cap 8 on hardware (7.29 vs 9.07
     # ms/step at r3 decomp): the fatter margin stretches reactive windows
     # ~1.6x (5.3 vs 3.3 steps/launch) AND the coarser grid shrinks P,
-    # which more than pays for the extra cap row.
+    # which more than pays for the extra cap row.  That tradeoff belongs
+    # to the Mosaic kernel's Newton-half j-split stencil: the XLA-chain
+    # fallback pays cap^2 over the FULL 27 offsets, so the coarse
+    # geometry runs it ~5x slower (measured 23.4 steps/s, 2026-08-18) —
+    # when the kernel probe fails, fall back to r2's measured-best chain
+    # geometry (BENCH_r02: skin 0.3 / cap 8 at 11.07 M).
+    fused = os.environ.get("LLE_PALLAS_STEP", "1") != "0"
+    geom = dict(skin=0.50, rebuild_every=40, cell_cap=9) if fused \
+        else dict(skin=0.30, rebuild_every=4, cell_cap=8)
     system, _ = system_from_data(
         data, pair=pair, bonds=bonds, dtype="float32",
-        ex_btype=2, max_extruders=1024, skin=0.50, rebuild_every=40,
-        cell_cap=9,
+        ex_btype=2, max_extruders=1024, **geom,
     )
     log(f"grid {system.neighbor.nx}^3 cell {system.neighbor.cell_size:.3f} "
         f"cap {system.neighbor.cell_cap}")
