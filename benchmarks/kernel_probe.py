@@ -138,14 +138,13 @@ def measure(skin: float, cap: int, springs: bool, quick: bool):
 
 def main():
     quick = "--quick" in sys.argv
-    # (0.5, 8): overflows + slower, measured 2026-08-18; (0.7, 11):
-    # 149 MB Mosaic register spill, VMEM compile OOM — both closed.
-    # The open axis is the spring-pass cost: springs on/off at the
-    # production geometry.
-    # (0.6, 10): one step coarser — occupancy/cap ratio improves
-    # (lambda 4.3/cap 10 vs 3.6/9) and reactive windows stretch further;
-    # the extra cap row costs 2 tail rows past the 8-row tile split.
-    pts = [(0.5, 9, True), (0.5, 9, False), (0.6, 10, True)]
+    # Geometry axis is CLOSED (hardware, 2026-08-18): (0.5, 8) overflows
+    # + slower; (0.7, 11) and (0.6, 10) both die in Mosaic compile with
+    # a 149-204 MB register-allocator VMEM spill — cap rows past 9 push
+    # the unrolled j-split stencil over the spill cliff.  cap=9 is the
+    # ceiling; skin 0.5 / cap 9 is the production point.  The open axis
+    # is the spring-pass cost: springs on/off at the production geometry.
+    pts = [(0.5, 9, True), (0.5, 9, False)]
     for a in sys.argv[1:]:
         if a.startswith("--points"):
             pts = []
