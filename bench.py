@@ -53,11 +53,29 @@ def _pallas_hw_probe() -> bool:
     import subprocess
 
     me = os.path.abspath(__file__)
+    # binary pipe + manual line splitting: a TextIO readline would leave
+    # any EXTRA lines that arrived in the same pipe chunk sitting in the
+    # TextIO buffer where select() cannot see them — a PROBE_PHASE marker
+    # buffered that way would not reset the deadline and a healthy probe
+    # in a long Mosaic compile could be spuriously killed (round-3 advisor
+    # finding).  os.read drains the whole chunk per wakeup.
     p = subprocess.Popen([sys.executable, me, "--probe"],
-                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                         text=True)
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
     sel = selectors.DefaultSelector()
     sel.register(p.stdout, selectors.EVENT_READ)
+    buf = b""
+
+    def drain_lines():
+        """Read every complete line currently available on the pipe."""
+        nonlocal buf
+        try:
+            chunk = os.read(p.stdout.fileno(), 65536)
+        except (BlockingIOError, OSError):
+            return []
+        buf += chunk
+        *lines, buf_tail = buf.split(b"\n")
+        buf = buf_tail
+        return [ln.decode("utf-8", "replace") + "\n" for ln in lines]
     # first marker covers imports + backend init + host-side data gen;
     # each later phase covers its cold Mosaic/XLA compiles + execution
     deadline = time.time() + 600.0
@@ -67,9 +85,11 @@ def _pallas_hw_probe() -> bool:
     why = "probe process exited"
     while True:
         if p.poll() is not None:
-            for line in p.stdout:
-                tail.append(line)
-                if "PROBE_OK" in line:
+            rest = p.stdout.read() or b""
+            for line in (buf + rest).split(b"\n"):
+                text = line.decode("utf-8", "replace")
+                tail.append(text + "\n")
+                if "PROBE_OK" in text:
                     ok = True
             break
         if time.time() > deadline:
@@ -78,15 +98,13 @@ def _pallas_hw_probe() -> bool:
             p.wait()
             break
         if sel.select(timeout=5.0):
-            line = p.stdout.readline()
-            if not line:
-                continue
-            tail.append(line)
-            if line.startswith("PROBE_PHASE"):
-                log(f"probe: {line.strip()}")
-                deadline = time.time() + phase_budget
-            elif "PROBE_OK" in line:
-                ok = True
+            for line in drain_lines():
+                tail.append(line)
+                if line.startswith("PROBE_PHASE"):
+                    log(f"probe: {line.strip()}")
+                    deadline = time.time() + phase_budget
+                elif "PROBE_OK" in line:
+                    ok = True
     ok = ok and p.returncode == 0
     if not ok:
         log(f"pallas probe failed (rc={p.returncode}, {why}):\n"

@@ -694,11 +694,12 @@ class DeckRunner:
                     # (general path only)
                     kw["tally"] = tail.pop(0) == "yes"
                 elif k == "gjf" and tail:
-                    # Gronbech-Jensen/Farago kicks (general path only);
-                    # the reference also accepts yes/no aliases
-                    val = tail.pop(0)
-                    kw["gjf"] = {"yes": "vhalf", "no": "no"}.get(val, val)
-                    if kw["gjf"] not in ("no", "vfull", "vhalf"):
+                    # Gronbech-Jensen/Farago kicks (general path only).
+                    # The reference accepts EXACTLY no/vfull/vhalf
+                    # (fix_langevin.cpp:131-140; 'yes' is an Illegal
+                    # fix langevin command there too)
+                    kw["gjf"] = val = tail.pop(0)
+                    if val not in ("no", "vfull", "vhalf"):
                         raise DeckError(
                             f"fix langevin gjf {val!r} (want no/vfull/vhalf)")
                 else:

@@ -183,10 +183,16 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
             raise ValueError(
                 f"fix langevin gjf must be no/vfull/vhalf, got {gjf_fix.gjf!r}")
         if gjf_fix.tally or gjf_fix.zero:
-            # the reference rejects the combination too (fix_langevin.cpp
-            # option validation)
-            raise ValueError("fix langevin gjf is incompatible with "
-                             "tally/zero")
+            # UNIMPLEMENTED parity gap: the reference DOES support
+            # gjf+tally (fix_langevin.cpp templated post_force<GJF=1,
+            # TALLY=1> + the gjfflag branch in compute_scalar) and
+            # gjf+zero; our GJF path folds noise into the Verlet kicks
+            # and does not thread the gjf-scaled velocities into the
+            # tally dot product yet.
+            raise ValueError(
+                "fix langevin gjf with tally/zero is not implemented here "
+                "(the reference supports it — fix_langevin.cpp "
+                "post_force<GJF,TALLY>); run gjf no or tally no")
         if len(nve_fixes) != 1 or not (
             type(nve_fixes[0]) is NVE and nve_fixes[0].group is None
         ):
@@ -194,6 +200,14 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
                 "fix langevin gjf requires exactly one group-all fix nve "
                 "(the GJF noise is folded into the Verlet kicks)")
     gjf_lid = langevin_fixes.index(gjf_fix) if gjf_fix is not None else -1
+    if sum(1 for f in langevin_fixes if f.tally) > 1:
+        # State.therm_e is a single global accumulator: two tallying
+        # fixes would each report the SHARED sum through f_ID, silently
+        # diverging from the reference's per-fix energies
+        # (fix_langevin.cpp compute_scalar).  Reject instead.
+        raise ValueError(
+            "at most one fix langevin may use tally yes (per-fix "
+            "thermostat energy is tracked by a single accumulator)")
     event_fixes = [
         f for f in sim.fixes if isinstance(f, (Extrusion, ExLoad, ExUnload))
     ]
