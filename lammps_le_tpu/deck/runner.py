@@ -442,6 +442,25 @@ class DeckRunner:
             self.computes[cid] = {"style": style, "group": group,
                                   "mode": mode, "input": inputs[0]}
             return
+        if style == "rdf":
+            # compute ID group rdf Nbin [cutoff R] — radial distribution
+            # histogram (src/compute_rdf.cpp; global VECTOR output,
+            # consumed by `fix ave/time ... c_ID[*] mode vector`).  The
+            # single-pair-set form (no itypeN/jtypeN args); cutoff
+            # defaults to the pair cutoff as in the reference.
+            nbins = int(args[3])
+            rmax = None
+            tail = list(args[4:])
+            while tail:
+                k = tail.pop(0)
+                if k == "cutoff" and tail:
+                    rmax = float(tail.pop(0))
+                else:
+                    raise DeckError(f"unsupported compute rdf arg {k!r}")
+            self.computes[cid] = {"style": style, "group": group,
+                                  "nbins": nbins, "rmax": rmax,
+                                  "fn": None}
+            return
         if style not in ("gyration", "msd", "temp", "pressure"):
             raise DeckError(f"unsupported compute style {style}")
         # temp/pressure (src/compute_temp.cpp, src/compute_pressure.cpp):
@@ -512,6 +531,34 @@ class DeckRunner:
                 return float(np.max(vals))
             return float(np.mean(vals))
         raise DeckError(cid)
+
+    def _compute_vector(self, cid, st):
+        """Global VECTOR computes (one snapshot): rdf -> (nbins, 4) rows
+        [bin, r_center, g(r), coord#] matching compute_rdf.cpp's array
+        columns (consumed by fix ave/time mode vector)."""
+        spec = self.computes[cid]
+        if spec["style"] != "rdf":
+            raise DeckError(f"compute {cid} has no vector output")
+        import jax.numpy as jnp
+
+        from ..observe.rdf import make_rdf_fn, normalize_rdf
+
+        nbins = spec["nbins"]
+        if spec.get("fn") is None:
+            rmax = spec["rmax"]
+            if rmax is None:
+                # reference default: the force cutoff (compute_rdf.cpp
+                # init(): force->pair->cutforce)
+                rmax = float(np.max(np.asarray(self.system.pair.cutoff)))
+            spec["rmax"] = rmax
+            spec["fn"] = make_rdf_fn(self.system, nbins, rmax)
+        hist, _ = spec["fn"](st, jnp.zeros((nbins,), jnp.float32))
+        r, g = normalize_rdf(hist, self.system, 1, nbins, spec["rmax"])
+        # coordination number: running per-atom neighbor count
+        # (compute_rdf.cpp:210-217); hist counts both directions
+        coord = np.cumsum(np.asarray(hist, np.float64)) / self.system.n
+        return np.column_stack(
+            [np.arange(1, nbins + 1), r, g, coord])
 
     def live_value(self, key: str):
         """Evaluate a thermo keyword / c_ID / f_ID[n] against live state
@@ -661,19 +708,24 @@ class DeckRunner:
             nevery, nrepeat, nfreq = (int(v) for v in rest[0:3])
             input_ = rest[3]
             path = "ave.out"
+            mode = "scalar"
             tail = list(rest[4:])
             while tail:
                 k = tail.pop(0)
                 if k == "file" and tail:
                     path = tail.pop(0)
                 elif k == "mode" and tail:
-                    if tail.pop(0) != "scalar":
-                        raise DeckError("fix ave/time: only mode scalar")
+                    # mode vector: global-vector inputs (compute rdf),
+                    # fix_ave_time.cpp MODE=VECTOR block format
+                    mode = tail.pop(0)
+                    if mode not in ("scalar", "vector"):
+                        raise DeckError(
+                            f"fix ave/time: unknown mode {mode!r}")
                 else:
                     raise DeckError(f"fix ave/time keyword {k!r}")
             try:
                 av = AveTime(self, fid, nevery, nrepeat, nfreq, input_,
-                             os.path.join(self.root, path))
+                             os.path.join(self.root, path), mode=mode)
             except ValueError as e:
                 raise DeckError(str(e)) from None
             self.dumps.append(av)
