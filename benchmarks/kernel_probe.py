@@ -20,10 +20,16 @@ All timing chains device work and syncs with a true device_get
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# spring-scaling knobs (VERDICT r3 #4): number of seeded extruders and
+# the padded table capacity (EPAD = block-pass trip budget)
+N_EX = int(os.environ.get("LLE_PROBE_NEX", "500"))
+MAX_EX = int(os.environ.get("LLE_PROBE_MAXEX", "1024"))
 
 
 def measure(skin: float, cap: int, springs: bool, quick: bool):
@@ -56,7 +62,7 @@ def measure(skin: float, cap: int, springs: bool, quick: bool):
     )
     system, _ = system_from_data(
         data, pair=pair, bonds=bonds, dtype="float32",
-        ex_btype=2, max_extruders=1024, skin=skin, rebuild_every=40,
+        ex_btype=2, max_extruders=MAX_EX, skin=skin, rebuild_every=40,
         cell_cap=cap,
     )
     warm = Simulation(
@@ -68,10 +74,10 @@ def measure(skin: float, cap: int, springs: bool, quick: bool):
     state, _ = run_fast(warm, state, 200 if quick else 1000)
 
     if springs:
-        n_ex0 = 500
+        n_ex0 = N_EX
         spacing = n_beads // n_ex0
-        left = np.full(1024, -1, np.int32)
-        right = np.full(1024, -1, np.int32)
+        left = np.full(MAX_EX, -1, np.int32)
+        right = np.full(MAX_EX, -1, np.int32)
         sites = np.arange(n_ex0) * spacing + 1
         left[:n_ex0] = sites
         right[:n_ex0] = sites + 2
@@ -128,7 +134,7 @@ def measure(skin: float, cap: int, springs: bool, quick: bool):
     spl = (nmeas / max(float(jax.device_get(launches)) - warm_launches, 1.0)
            if launches is not None else float("nan"))
     P = system.neighbor.nx  # report grid side; P in maps is private
-    print(f"skin={skin} cap={cap} springs={int(springs)} nx={P} "
+    print(f"skin={skin} cap={cap} springs={int(springs)} E={N_EX if springs else 0}/{MAX_EX} nx={P} "
           f"ms/step={ms:.2f} M={agg/1e6:.2f} spl={spl:.2f} "
           f"flags={int(jax.device_get(fs.flags)):#x} "
           f"clamps={int(jax.device_get(fs.n_clamps))} "

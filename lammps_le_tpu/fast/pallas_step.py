@@ -100,6 +100,18 @@ _TF_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
 # fori trips, double the mask VMEM).
 EX_BLOCK = int(os.environ.get("LLE_EX_BLOCK", "32"))
 
+# Approximate VPU reciprocal + one Newton-Raphson refinement replaces the
+# two exact f32 divisions of the pair slab (multi-op VPU sequences).  The
+# raw approximate instruction has ~1.6e-5 max rel err (measured on this
+# v5e, benchmarks/probe_rcp.py) which the r^-14 LJ chain amplifies ~7x —
+# hardware force parity failed at 9.4e-3 absolute (7e-5 relative) against
+# the exact-division XLA chain.  One NR step r*(2 - x*r) squares the
+# error to ~2.6e-10, below f32 roundoff, for 2 extra VPU ops: hw_parity
+# passes at its 3e-5 tolerance.  TPU-real-mode only: interpret-mode CI
+# and the XLA chain keep exact division, so CPU parity tests are
+# bit-identical.
+APPROX_RCP = os.environ.get("LLE_APPROX_RCP", "1") == "1"
+
 
 def _threefry2x32(k0, k1, c0, c1):
     """threefry2x32 (Salmon et al. 2011), 20 rounds — must stay bit-exact
@@ -117,6 +129,274 @@ def _threefry2x32(k0, k1, c0, c1):
         x0 = x0 + ks[(i + 1) % 3]
         x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
     return x0, x1
+
+
+class StencilConsts:
+    """Pair/bond physics constants shared by every stencil kernel shape
+    (the whole-grid fused kernel, the layer-blocked 1M kernel, the
+    sharded per-slab kernel).  Plain attributes, all trace-time floats /
+    bools — geometry (cap, window width) stays with the caller."""
+
+    def __init__(self, system: System):
+        (self.lj1, self.lj2, self.lj3, self.lj4, self.cutsq, self.offe,
+         self.floorsq) = (
+            float(np.asarray(t)[0, 0]) for t in _lj_tables(
+                system, jnp.float32)
+        )
+        bts = np.asarray(system.backbone_type)
+        used = bts[bts >= 0]
+        if used.size:
+            self.kf, self.r0f, self.epsf, self.sigf = (
+                float(c) for c in np.asarray(system.bonds.coeffs)[used[0]]
+            )
+        else:
+            self.kf = self.r0f = self.epsf = self.sigf = 0.0
+        self.r0sq = self.r0f * self.r0f if self.r0f else 1.0
+        # trace-time scalar: strength-reduce the per-pair rsq/r0sq
+        # division to a multiply
+        self.inv_r0sq = 1.0 / self.r0sq
+        self.wca_cutsq = 2.0 ** (1.0 / 3.0) * self.sigf * self.sigf
+        self.wca_floorsq = 0.5625 * self.sigf * self.sigf
+        self.bond_reach_sq = (2.0 * system.neighbor.cell_size) ** 2
+        # Kremer-Grest work-share: when the FENE bond's (sigma, epsilon)
+        # equal the LJ pair's, the WCA term of bond_fene.cpp:68-76 is the
+        # SAME polynomial r6*(lj1*r6 - lj2)*r2 as pair_lj_cut.cpp:119
+        # (48 eps sr6 (sr6-0.5) r2 with sr6 = sigma^6 r6), and the two
+        # evaluation floors coincide — so ONE force-factor chain serves
+        # both under a combined mask instead of a second ~10-op WCA chain
+        # per pair slab.  The sums are float-commutative products by 0/1
+        # weights, so the merged form is BITWISE identical to the split
+        # form (parity tests unchanged).
+        pp_sys = system.pair
+        self.wca_is_lj = bool(
+            self.kf != 0.0
+            and pp_sys is not None
+            and self.sigf == float(np.asarray(pp_sys.sigma).flat[0])
+            and self.epsf == float(np.asarray(pp_sys.epsilon).flat[0])
+            and abs(self.wca_floorsq - self.floorsq) < 1e-12
+        )
+
+    def key(self):
+        return (round(self.kf, 12), round(self.r0f, 12),
+                round(self.epsf, 12), round(self.sigf, 12),
+                round(self.lj1, 12), round(self.cutsq, 12),
+                round(self.bond_reach_sq, 12), self.wca_is_lj)
+
+
+def make_offset_loop(C: StencilConsts, cap: int, PW: int, NOFF: int,
+                     energy: bool, interpret: bool):
+    """Build the Newton-half offset fori-loop over (cap, PW) planes.
+
+    Returns ``run(d_ref, ox_ref, bid, u1, pid_ref, valid, facc_ref,
+    sacc_ref)`` accumulating LJ+FENE forces into ``facc_ref`` (3, cap,
+    PW) and [e_lj, e_b, nb_found, n_clamp] rows into ``sacc_ref``
+    (4, PW).  ``pid_ref`` is the partner-id REF (loaded per offset —
+    see the register-pressure note in the offset body).
+    ``d_ref`` holds 2*NOFF roll shifts (forward, reaction);
+    ``ox_ref`` is indexable [c] -> (cap, PW) post-halo positions; ``u1``
+    is the chain-code plane (bid+1 where has-next else sentinel).  The
+    window width PW is the caller's: the whole padded grid for the fused
+    kernel, one 3-layer slab window for the blocked/sharded kernels
+    (their margins guarantee every in-range j-column exists locally).
+    """
+    if APPROX_RCP and not interpret:
+        def _rcp(x):
+            r = pl.reciprocal(x, approx=True)
+            return r * (2.0 - x * r)
+    else:
+        def _rcp(x):
+            return 1.0 / x
+    (lj1, lj2, lj3, lj4, cutsq, offe, floorsq) = (
+        C.lj1, C.lj2, C.lj3, C.lj4, C.cutsq, C.offe, C.floorsq)
+    kf, r0sq, inv_r0sq = C.kf, C.r0sq, C.inv_r0sq
+    sigf, epsf = C.sigf, C.epsf
+    wca_cutsq, wca_floorsq = C.wca_cutsq, C.wca_floorsq
+    bond_reach_sq, wca_is_lj = C.bond_reach_sq, C.wca_is_lj
+    P = PW
+
+    def run(d_ref, ox_ref, bid, u1, pid_ref, valid, facc_ref, sacc_ref):
+        def offset_body(o, carry):
+            # pid loads PER OFFSET (matching the r3 kernel): hoisting it
+            # out of the fori made the value live across the whole loop
+            # and fed the register-pressure cliff (see the note below)
+            pidp = pid_ref[...]
+            d = d_ref[o]
+            rd = d_ref[o + NOFF]
+            # self cell (o=0): both pair orders iterate naturally — no
+            # reaction, unit energy weight.  Half offsets: reaction
+            # rows rolled onto the j columns, energies at weight 2
+            # (the engine halves, matching the full-stencil
+            # convention).
+            react = jnp.where(o > 0, 1.0, 0.0).astype(jnp.float32)
+            wgt = 1.0 + react
+            X = ox_ref[0]
+            Y = ox_ref[1]
+            Z = ox_ref[2]
+            Xj = pltpu.roll(X, d, 1)
+            Yj = pltpu.roll(Y, d, 1)
+            Zj = pltpu.roll(Z, d, 1)
+            Bj = pltpu.roll(bid, d, 1)
+            U1j = pltpu.roll(u1, d, 1)
+
+            def pair_math(xi, yi, zi, bi, u1i, pi, w_i,
+                          XJ, YJ, ZJ, BJ, U1J):
+                # LJ + FENE + exclusion math for one broadcastable
+                # (i-slab, j-slab) combination; energies and bond
+                # sighting/clamp tallies reduce into sacc_ref HERE (a
+                # sublane reduction per pass — returning the (rows, P)
+                # masks for caller-side accumulation chained 5 live
+                # accumulator planes through the unrolled i loop and
+                # blew Mosaic's register allocator: 114.75 MB of spill
+                # slots, hardware 2026-08-19); returns force components.
+                dx = xi - XJ
+                dy = yi - YJ
+                dz = zi - ZJ
+                rsq = dx * dx + dy * dy + dz * dz
+                nz_pair = rsq > 0.0
+
+                # u1 encodes (bid+1, has-next) in one plane; a
+                # self-pair (BJ == bi) can never satisfy either
+                # direction, so bonded needs no nz_pair guard
+                bonded = (BJ == u1i) | (bi == U1J)
+
+                in_cut = rsq < cutsq
+                if kf != 0.0:
+                    in_reach = rsq < bond_reach_sq
+                    w_b_m = bonded & in_reach
+                lj_ok = (in_cut & nz_pair) & (~bonded) & (BJ != pi)
+                if wca_is_lj:
+                    # merged Kremer-Grest path: one force-factor
+                    # polynomial under the (LJ | bonded-WCA) mask
+                    pair_ok = lj_ok | (w_b_m & (rsq < wca_cutsq))
+                    rsq_den = jnp.maximum(
+                        jnp.where(pair_ok, rsq, 1.0), floorsq)
+                    w12 = jnp.where(pair_ok, w_i, 0.0)
+                    r2 = _rcp(rsq_den)
+                    r6 = r2 * r2 * r2
+                    ffac = r6 * (lj1 * r6 - lj2) * r2 * w12
+                else:
+                    w12 = jnp.where(lj_ok, w_i, 0.0)
+                    bonded_nz = bonded & nz_pair
+                    rsq_den = jnp.where(
+                        bonded_nz,
+                        jnp.maximum(rsq, wca_floorsq),
+                        jnp.maximum(
+                            jnp.where(in_cut & nz_pair, rsq, 1.0),
+                            floorsq),
+                    )
+                    r2 = _rcp(rsq_den)
+                    r6 = r2 * r2 * r2
+                    ffac = r6 * (lj1 * r6 - lj2) * r2 * w12
+                if energy:
+                    w_lj = (jnp.where(lj_ok, w_i, 0.0)
+                            if wca_is_lj else w12)
+                    sacc_ref[0:1, :] += jnp.sum(
+                        (wgt * (r6 * (lj3 * r6 - lj4) - offe)) * w_lj,
+                        axis=0, keepdims=True)
+                if kf != 0.0:
+                    w_b = jnp.where(w_b_m, w_i, 0.0)
+                    rsq_b = jnp.where(bonded, rsq, 1.0)
+                    rlog = 1.0 - rsq_b * inv_r0sq
+                    cl = rlog < 0.1
+                    # max == where(cl, 0.1, rlog) bitwise (rlog may
+                    # be negative; never NaN — rsq_b is finite)
+                    rlogc = jnp.maximum(rlog, 0.1)
+                    fb = (-kf) * _rcp(rlogc)
+                    if not wca_is_lj:
+                        sr2 = (sigf * sigf) * r2
+                        sr6 = sr2 * sr2 * sr2
+                        wca = rsq_b < wca_cutsq
+                        fb = fb + jnp.where(
+                            wca,
+                            48.0 * epsf * sr6 * (sr6 - 0.5) * r2, 0.0)
+                    ffac = ffac + fb * w_b
+                    sacc_ref[2:3, :] += wgt * jnp.sum(
+                        w_b, axis=0, keepdims=True)
+                    sacc_ref[3:4, :] += wgt * jnp.sum(
+                        jnp.where(cl, w_b, 0.0), axis=0, keepdims=True)
+                    if energy:
+                        if wca_is_lj:
+                            sr2e = (sigf * sigf) * r2
+                            sr6e = sr2e * sr2e * sr2e
+                            wcae = rsq_b < wca_cutsq
+                        else:
+                            sr6e = sr6
+                            wcae = wca
+                        sacc_ref[1:2, :] += wgt * jnp.sum(
+                            w_b * (-0.5 * kf * r0sq * jnp.log(rlogc)
+                                   + jnp.where(
+                                       wcae,
+                                       4.0 * epsf * sr6e * (sr6e - 1.0)
+                                       + epsf,
+                                       0.0)),
+                            axis=0, keepdims=True)
+                return dx * ffac, dy * ffac, dz * ffac
+
+            # The j-side slab is split on the f32 sublane tile (8
+            # rows): rows >= 8 of the rolled planes would pad every
+            # (cap, P) op in the i loop to TWO sublane tiles (cap=9
+            # costs 16 rows of VPU work per op).  Instead the i loop
+            # runs against the single-tile 8-row block, and each tail
+            # j-row is one extra pass broadcast against the whole i
+            # plane — 9x1-tile + 1x2-tile instead of 9x2-tile ops.
+            JT = min(cap, 8)
+            # Newton reactions for ALL i-rows share this offset's
+            # roll shift: accumulate them across the i loop and roll
+            # ONCE per component (was per-i — 24 full-plane rolls and
+            # adds per offset, ~20% of the stencil cost).  Exactly
+            # THREE register accumulator chains — the r3 structure.
+            # Adding two more (bond tallies) pushed Mosaic's register
+            # allocator over a spill cliff (114.75 MB of spill slots,
+            # 100k step 6.6 -> 18-40 ms, hardware bisect 2026-08-19);
+            # tallies reduce inside pair_math instead.
+            rax = jnp.zeros((JT, P), jnp.float32)
+            ray = jnp.zeros((JT, P), jnp.float32)
+            raz = jnp.zeros((JT, P), jnp.float32)
+            XjB, YjB, ZjB = Xj[:JT], Yj[:JT], Zj[:JT]
+            BjB, U1jB = Bj[:JT], U1j[:JT]
+            for i in range(cap):
+                cx, cy, cz = pair_math(
+                    X[i:i + 1, :], Y[i:i + 1, :], Z[i:i + 1, :],
+                    bid[i:i + 1, :], u1[i:i + 1, :], pidp[i:i + 1, :],
+                    valid[i:i + 1, :],
+                    XjB, YjB, ZjB, BjB, U1jB)
+                facc_ref[0, i:i + 1, :] += jnp.sum(
+                    cx, axis=0, keepdims=True)
+                facc_ref[1, i:i + 1, :] += jnp.sum(
+                    cy, axis=0, keepdims=True)
+                facc_ref[2, i:i + 1, :] += jnp.sum(
+                    cz, axis=0, keepdims=True)
+                rax = rax + cx
+                ray = ray + cy
+                raz = raz + cz
+            # tail j-rows: one pass per row >= JT, i side = whole plane
+            tails = []
+            for jt in range(JT, cap):
+                cx, cy, cz = pair_math(
+                    X, Y, Z, bid, u1, pidp, valid,
+                    Xj[jt:jt + 1, :], Yj[jt:jt + 1, :],
+                    Zj[jt:jt + 1, :], Bj[jt:jt + 1, :],
+                    U1j[jt:jt + 1, :])
+                facc_ref[0, :, :] += cx
+                facc_ref[1, :, :] += cy
+                facc_ref[2, :, :] += cz
+                tails.append((jnp.sum(cx, axis=0, keepdims=True),
+                              jnp.sum(cy, axis=0, keepdims=True),
+                              jnp.sum(cz, axis=0, keepdims=True)))
+            if tails:
+                rax = jnp.concatenate([rax] + [t[0] for t in tails], 0)
+                ray = jnp.concatenate([ray] + [t[1] for t in tails], 0)
+                raz = jnp.concatenate([raz] + [t[2] for t in tails], 0)
+            # Newton reaction onto the j rows, rolled to their columns
+            facc_ref[0, :, :] += (-react) * pltpu.roll(rax, rd, 1)
+            facc_ref[1, :, :] += (-react) * pltpu.roll(ray, rd, 1)
+            facc_ref[2, :, :] += (-react) * pltpu.roll(raz, rd, 1)
+            return carry
+
+        jax.lax.fori_loop(
+            0, NOFF, offset_body, jnp.zeros((), jnp.int32))
+
+    return run
 
 
 def make_halo_consts(system: System, maps):
@@ -184,23 +464,8 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     n = system.n
     cap, P = maps.cap, maps.P
     sx, sy, sz = maps.strides
-    lj1, lj2, lj3, lj4, cutsq, offe, floorsq = (
-        float(np.asarray(t)[0, 0]) for t in _lj_tables(system, jnp.float32)
-    )
-    bts = np.asarray(system.backbone_type)
-    used = bts[bts >= 0]
-    if used.size:
-        kf, r0f, epsf, sigf = (
-            float(c) for c in np.asarray(system.bonds.coeffs)[used[0]]
-        )
-    else:
-        kf = r0f = epsf = sigf = 0.0
-    r0sq = r0f * r0f if r0f else 1.0
-    inv_r0sq = 1.0 / r0sq  # trace-time scalar: strength-reduce the
-    # per-pair rsq/r0sq division to a multiply
-    wca_cutsq = 2.0 ** (1.0 / 3.0) * sigf * sigf
-    wca_floorsq = 0.5625 * sigf * sigf
-    bond_reach_sq = (2.0 * system.neighbor.cell_size) ** 2
+    C = StencilConsts(system)
+    kf = C.kf
 
     # extruder-spring coefficients for the in-kernel block spring pass
     # (bond_harmonic.cpp:48 / bond_fene.cpp:52; engine.ex_force_planes is
@@ -243,6 +508,12 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             * np.sqrt(24.0 * units.boltz / (lan.damp * dt) / units.mvv2e)
             / units.ftm2v
         )
+    # fix langevin zero/group ride the kernel (fix_langevin.cpp:438-674
+    # keeps every option in the one hot path): zero = one in-kernel mean
+    # subtract per component per step, group = a 0/1 membership plane
+    # (engine FastState.lgm, rebuilt with the grid) extra input
+    lan_zero = bool(lan is not None and lan.zero)
+    lan_group = bool(lan is not None and lan.group is not None)
 
     # Newton-half stencil (npair_half_bin_newton.cpp:35-160 in spirit):
     # self cell + the 13 lexicographically-positive offsets; each half
@@ -262,12 +533,11 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     NOFF = len(half_offsets)
     aux_np, halo_shifts, box = make_halo_consts(system, maps)
     has_ex = ex_btype > 0
+    run_offsets = make_offset_loop(C, cap, P, NOFF, energy, interpret)
 
     def kernel(d_ref, meta_ref, key_ref, sc_ref,
                tab_ref, tabT_ref, gx_ref_in, gv_ref, gf_ref, exf_ref,
-               gxr_ref, bid_ref, hn_ref, pid_ref, aux_ref,
-               ox_ref, ov_ref, of_ref, stats_ref,
-               facc_ref, sacc_ref):
+               gxr_ref, bid_ref, hn_ref, pid_ref, aux_ref, *rest):
         """VMEM discipline (the 100k lesson): every value that must live
         across the 27-offset fori goes through an explicit VMEM ref —
         positions/velocities/forces ride the output refs (iterated in
@@ -278,6 +548,12 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         version spilled 149 MB at 100k beads and ran out of VMEM.  The
         step while-loop carries SCALARS only (step index, stop flag,
         cross-step tallies)."""
+        if lan_group:
+            lgm_ref = rest[0]
+            rest_r = rest[1:]
+        else:
+            rest_r = rest
+        (ox_ref, ov_ref, of_ref, stats_ref, facc_ref, sacc_ref) = rest_r
         dflag0 = (meta_ref[1] > 0).astype(jnp.float32)
         # meta[2] (ex_inkernel) is implied by meta[4]: ex_nblk > 0 means
         # the block spring pass covers every active extruder spring
@@ -298,6 +574,12 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         valid = jnp.where(bid < n, interior, 0.0)
         hn = hn_ref[...]
         n_links = jnp.sum(valid * (hn > 0).astype(jnp.float32))
+        # chain-code plane: u1[slot] = bid+1 where the slot's bead has a
+        # chain-next link, else a never-matching sentinel.  The bonded
+        # test then costs 2 compares + 1 or per pair slab instead of the
+        # 5-7 ops of the bid/hn cross terms, and the per-offset hn roll
+        # disappears.  (bid <= n always; n+2 matches nothing.)
+        u1 = jnp.where(hn > 0, bid + 1, n + 2)
 
         # positions/velocities/forces iterate IN the output refs
         for k in range(3):
@@ -310,6 +592,10 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             k1 = key_ref[1]
             base0 = key_ref[2]  # sstep*4 as uint32, computed by the caller
             scale = 1.0 / 16777216.0
+            # thermostat mask: group membership plane (launch-constant;
+            # rebuilds happen at launch boundaries) over the valid mask
+            wl = valid * lgm_ref[...] if lan_group else valid
+            sc_icnt = sc_ref[6]  # 1/count(group) for the zero option
 
         def step_body(carry):
             (s, stopped, clamps_tot, reach_bad, skin_bad, trig) = carry
@@ -342,153 +628,9 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             # ---- fused stencil: LJ + FENE + exclusions, Newton-half ----
             facc_ref[...] = jnp.zeros((3, cap, P), jnp.float32)
             sacc_ref[...] = jnp.zeros((4, P), jnp.float32)
-
-            def offset_body(o, carry):
-                d = d_ref[o]
-                rd = d_ref[o + NOFF]
-                # self cell (o=0): both pair orders iterate naturally — no
-                # reaction, unit energy weight.  Half offsets: reaction
-                # rows rolled onto the j columns, energies at weight 2
-                # (the engine halves, matching the full-stencil
-                # convention).
-                react = jnp.where(o > 0, 1.0, 0.0).astype(jnp.float32)
-                wgt = 1.0 + react
-                X = ox_ref[0]
-                Y = ox_ref[1]
-                Z = ox_ref[2]
-                Xj = pltpu.roll(X, d, 1)
-                Yj = pltpu.roll(Y, d, 1)
-                Zj = pltpu.roll(Z, d, 1)
-                Bj = pltpu.roll(bid, d, 1)
-                Hj = pltpu.roll(hn, d, 1)
-                pidp = pid_ref[...]
-
-                def pair_math(xi, yi, zi, bi, hi, pi, w_i,
-                              XJ, YJ, ZJ, BJ, HJ):
-                    # LJ + FENE + exclusion math for one broadcastable
-                    # (i-slab, j-slab) combination; energies/bond stats
-                    # accumulate into sacc_ref, force components return
-                    dx = xi - XJ
-                    dy = yi - YJ
-                    dz = zi - ZJ
-                    rsq = dx * dx + dy * dy + dz * dz
-                    nz_pair = rsq > 0.0
-
-                    bonded = ((BJ == bi + 1) & (hi > 0)) | \
-                             ((bi == BJ + 1) & (HJ > 0))
-                    excl = bonded | (BJ == pi)
-
-                    in_cut = rsq < cutsq
-                    w_lj = jnp.where(in_cut & nz_pair & (~excl), w_i, 0.0)
-                    # ONE reciprocal serves both LJ and FENE-WCA: f32
-                    # division is a multi-op VPU sequence, and the two
-                    # consumers mask DISJOINT pairs (bonded pairs are
-                    # LJ-excluded), so each reads rcp under its own
-                    # floor; the other side's garbage is masked to zero.
-                    bonded_nz = bonded & nz_pair
-                    rsq_den = jnp.where(
-                        bonded_nz,
-                        jnp.maximum(rsq, wca_floorsq),
-                        jnp.maximum(
-                            jnp.where(in_cut & nz_pair, rsq, 1.0), floorsq),
-                    )
-                    r2 = 1.0 / rsq_den
-                    r6 = r2 * r2 * r2
-                    ffac = r6 * (lj1 * r6 - lj2) * r2 * w_lj
-                    if energy:
-                        sacc_ref[0:1, :] += jnp.sum(
-                            (wgt * (r6 * (lj3 * r6 - lj4) - offe)) * w_lj,
-                            axis=0, keepdims=True)
-                    if kf != 0.0:
-                        in_reach = rsq < bond_reach_sq
-                        w_b = jnp.where(
-                            bonded_nz & in_reach, w_i, 0.0)
-                        rsq_b = jnp.where(bonded_nz, rsq, 1.0)
-                        rlog = 1.0 - rsq_b * inv_r0sq
-                        cl = rlog < 0.1
-                        rlog = jnp.where(cl, 0.1, rlog)
-                        fb = -kf / rlog
-                        sr2 = (sigf * sigf) * r2
-                        sr6 = sr2 * sr2 * sr2
-                        wca = rsq_b < wca_cutsq
-                        fb = fb + jnp.where(
-                            wca, 48.0 * epsf * sr6 * (sr6 - 0.5) * r2, 0.0
-                        )
-                        ffac = ffac + fb * w_b
-                        sacc_ref[2:3, :] += wgt * jnp.sum(
-                            w_b, axis=0, keepdims=True)
-                        sacc_ref[3:4, :] += wgt * jnp.sum(
-                            jnp.where(cl, w_b, 0.0), axis=0, keepdims=True
-                        )
-                        if energy:
-                            sacc_ref[1:2, :] += wgt * jnp.sum(
-                                w_b * (-0.5 * kf * r0sq * jnp.log(rlog)
-                                       + jnp.where(
-                                           wca,
-                                           4.0 * epsf * sr6 * (sr6 - 1.0)
-                                           + epsf,
-                                           0.0)),
-                                axis=0, keepdims=True)
-                    return dx * ffac, dy * ffac, dz * ffac
-
-                # The j-side slab is split on the f32 sublane tile (8
-                # rows): rows >= 8 of the rolled planes would pad every
-                # (cap, P) op in the i loop to TWO sublane tiles (cap=9
-                # costs 16 rows of VPU work per op).  Instead the i loop
-                # runs against the single-tile 8-row block, and each tail
-                # j-row is one extra pass broadcast against the whole i
-                # plane — 9x1-tile + 1x2-tile instead of 9x2-tile ops.
-                JT = min(cap, 8)
-                # Newton reactions for ALL i-rows share this offset's
-                # roll shift: accumulate them across the i loop and roll
-                # ONCE per component (was per-i — 24 full-plane rolls and
-                # adds per offset, ~20% of the stencil cost)
-                rax = jnp.zeros((JT, P), jnp.float32)
-                ray = jnp.zeros((JT, P), jnp.float32)
-                raz = jnp.zeros((JT, P), jnp.float32)
-                XjB, YjB, ZjB = Xj[:JT], Yj[:JT], Zj[:JT]
-                BjB, HjB = Bj[:JT], Hj[:JT]
-                for i in range(cap):
-                    cx, cy, cz = pair_math(
-                        X[i:i + 1, :], Y[i:i + 1, :], Z[i:i + 1, :],
-                        bid[i:i + 1, :], hn[i:i + 1, :], pidp[i:i + 1, :],
-                        valid[i:i + 1, :],
-                        XjB, YjB, ZjB, BjB, HjB)
-                    facc_ref[0, i:i + 1, :] += jnp.sum(
-                        cx, axis=0, keepdims=True)
-                    facc_ref[1, i:i + 1, :] += jnp.sum(
-                        cy, axis=0, keepdims=True)
-                    facc_ref[2, i:i + 1, :] += jnp.sum(
-                        cz, axis=0, keepdims=True)
-                    rax = rax + cx
-                    ray = ray + cy
-                    raz = raz + cz
-                # tail j-rows: one pass per row >= JT, i side = whole plane
-                tails = []
-                for jt in range(JT, cap):
-                    cx, cy, cz = pair_math(
-                        X, Y, Z, bid, hn, pidp, valid,
-                        Xj[jt:jt + 1, :], Yj[jt:jt + 1, :],
-                        Zj[jt:jt + 1, :], Bj[jt:jt + 1, :],
-                        Hj[jt:jt + 1, :])
-                    facc_ref[0, :, :] += cx
-                    facc_ref[1, :, :] += cy
-                    facc_ref[2, :, :] += cz
-                    tails.append((jnp.sum(cx, axis=0, keepdims=True),
-                                  jnp.sum(cy, axis=0, keepdims=True),
-                                  jnp.sum(cz, axis=0, keepdims=True)))
-                if tails:
-                    rax = jnp.concatenate([rax] + [t[0] for t in tails], 0)
-                    ray = jnp.concatenate([ray] + [t[1] for t in tails], 0)
-                    raz = jnp.concatenate([raz] + [t[2] for t in tails], 0)
-                # Newton reaction onto the j rows, rolled to their columns
-                facc_ref[0, :, :] += (-react) * pltpu.roll(rax, rd, 1)
-                facc_ref[1, :, :] += (-react) * pltpu.roll(ray, rd, 1)
-                facc_ref[2, :, :] += (-react) * pltpu.roll(raz, rd, 1)
-                return carry
-
-            jax.lax.fori_loop(
-                0, NOFF, offset_body, jnp.zeros((), jnp.int32))
+            # (shared Newton-half offset loop — make_offset_loop)
+            run_offsets(d_ref, ox_ref, bid, u1, pid_ref, valid,
+                        facc_ref, sacc_ref)
 
             # ---- reverse comm: fold ghost-accumulated reactions back
             # onto their owner columns, reversing the refresh order
@@ -508,17 +650,20 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
 
             # ---- extruder springs: vectorized block pass (ALL active
             # springs, near or far — the analog of the XLA
-            # ex_force_planes pass, bitwise-mirrored math).  Per
-            # EX_BLOCK-spring block, BOTH anchors x all 3 components are
-            # batched as 6W one-hot rows so the whole block is exactly
-            # TWO standard-layout matmuls — one gather (6W, 3cap) @
-            # (3cap, P) and one scatter (3cap, 6W) @ (6W, P) — plus
-            # (6W, P)-shaped mask work.  (The first cut did 12 small
-            # dots per block, half of them dim-0 contractions that
-            # forced Mosaic relayouts: 2.5 ms/step at E=500.  The
-            # transposed one-hot comes from tabT_ref, so no in-kernel
-            # transposes exist at all.)  O(E * P) per step, valid for
-            # every step of a multi-step launch. ----
+            # ex_force_planes pass, bitwise-mirrored math).  v3: per
+            # EX_BLOCK-spring block BOTH anchors stack on the row axis
+            # (2W rows), one (2W,cap)@(cap,P) gather dot + per-component
+            # (2W,P) mask-reduce pulls both anchor positions, and one
+            # standard-layout (cap,2W)@(2W,P) dot per component scatters
+            # both reactions.  (v2 did 12 dots/block, half dim-0
+            # contractions that forced Mosaic relayouts: 2.5 ms/step at
+            # E=500.  v4 tried all-MXU gathers via TRANSPOSED one-hots —
+            # (P, W2) lane-padded masks cost (P, 128) f32 each and blew
+            # the 128 MiB VMEM cap by exactly their 2x17.2 MB at the
+            # 100k bench geometry, hardware 2026-08-19 — transposed
+            # plane-height one-hots are unaffordable; v3 keeps every
+            # plane-sized tensor row-major (2W, P).)  O(E * P) per
+            # step, valid for every step of a multi-step launch. ----
             if has_ex:
                 # HIGHEST (bf16x6) — exact f32; Mosaic's dot lowering
                 # accepts only DEFAULT/HIGHEST, and DEFAULT truncates
@@ -632,7 +777,13 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                     u = (x0 >> 8).astype(jnp.int32).astype(
                         jnp.float32) * scale
                     noise = u - 0.5
-                    f = f + (sc_g1 * ov_ref[comp] + g2_s * noise) * valid
+                    if lan_zero:
+                        # zeroflag: random-force sum adjusted to zero
+                        # over the group each step (fix_langevin.cpp
+                        # post_force end) — subtract the group mean from
+                        # noise before masking so only members feel it
+                        noise = noise - jnp.sum(noise * wl) * sc_icnt
+                    f = f + (sc_g1 * ov_ref[comp] + g2_s * noise) * wl
                 of_ref[comp] = f
                 # ---- final integrate: half kick ----
                 ov_ref[comp] = ov_ref[comp] + sc_kick * f * valid
@@ -702,16 +853,16 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     cache_key = (
         system.neighbor.nx, system.neighbor.ny, system.neighbor.nz,
         cap, P, n, EPAD, system.box_size,
-        round(kf, 12), round(r0f, 12), round(epsf, 12), round(sigf, 12),
-        round(lj1, 12), round(cutsq, 12),
+        C.key(),
         # extruder-spring physics and the skin-derived trigger bound are
         # ALSO baked into the closure — omitting them let a second
         # Simulation with the same geometry silently reuse the first
         # one's spring constants (round-3 review finding)
         round(khe, 12), round(r0he, 12), round(epshe, 12),
         round(sighe, 12), bool(ex_harmonic),
-        round(float(system.neighbor.skin), 12), round(bond_reach_sq, 12),
-        energy, lan is not None, has_ex, interpret,
+        round(float(system.neighbor.skin), 12),
+        energy, lan is not None, lan_zero, lan_group, has_ex, interpret,
+        APPROX_RCP,
     )
     grid_call = _CALL_CACHE.get(cache_key)
     if grid_call is None:
@@ -721,7 +872,8 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             out_shape=[plane, plane, plane,
                        jax.ShapeDtypeStruct((8, 128), jnp.float32)],
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +
-                     [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+                     [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                     * (12 if lan_group else 11),
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             scratch_shapes=[
                 pltpu.VMEM((3, cap, P), jnp.float32),   # force accumulators
@@ -744,7 +896,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     def call(gx, gv, gf, exf, gxref, bid, hn, pid,
              sstep, do_drift, key_words, t_target,
              t_slope=None, limit=None, ex_tab=None,
-             ex_tabT=None, ex_nblk=None):
+             ex_tabT=None, ex_nblk=None, lgm=None):
         """key_words: (2,) uint32 RUN-constant PRNG words (the langevin
         key folded WITHOUT the step — engine step_pallas).
 
@@ -785,15 +937,27 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                    else jnp.asarray(t_slope, jnp.float32))
         else:
             g1 = g2b = t0 = tsl = zf
+        if lan_zero:
+            # 1/count(group): the zero option's mean divisor (group
+            # membership never changes; one reduce per launch)
+            icnt = (jnp.asarray(1.0 / n, jnp.float32) if not lan_group
+                    else 1.0 / jnp.maximum(jnp.sum(lgm), 1.0))
+        else:
+            icnt = zf
         sc = jnp.stack([
             jnp.asarray(dt, jnp.float32), jnp.asarray(kick, jnp.float32),
-            g1, g2b, t0, tsl, zf, zf,
+            g1, g2b, t0, tsl, icnt, zf,
         ])
-        return grid_call(
-            d_arr, meta, keyw, sc,
-            ex_tab, ex_tabT, gx, gv, gf, exf, gxref,
-            bid, hn.astype(jnp.int32), pid, aux_arr,
-        )
+        args = [d_arr, meta, keyw, sc,
+                ex_tab, ex_tabT, gx, gv, gf, exf, gxref,
+                bid, hn.astype(jnp.int32), pid, aux_arr]
+        if lan_group:
+            if lgm is None:
+                raise ValueError(
+                    "fix langevin names a group but the grid state has "
+                    "no membership plane (to_fast needs groups=)")
+            args.append(lgm)
+        return grid_call(*args)
 
     return call
 

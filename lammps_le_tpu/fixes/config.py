@@ -42,8 +42,8 @@ class Langevin:
     group: Optional[str] = None
     # ``zero yes`` (fix_langevin.cpp zeroflag): subtract the group mean
     # from the random force each step so it sums to zero — kills the
-    # thermostat's COM random walk.  General path only (the fused kernel
-    # would need a cross-plane reduce per step; LE decks don't use it).
+    # thermostat's COM random walk.  Rides the fast path (one in-kernel
+    # mean subtract per component per step) and the general path.
     zero: bool = False
     # ``tally yes`` (fix_langevin.cpp tallyflag): accumulate the cumulative
     # energy the thermostat exchanged with the group into State.therm_e;

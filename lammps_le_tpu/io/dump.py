@@ -208,13 +208,14 @@ def run_with_dumps(sim, state, nsteps, dumps, groups=None,
             if step % d.every == 0:
                 write_frame(d, st, sim.system)
 
-    if use_fast and not groups:
+    if use_fast:
         from ..fast import run_fast
 
         state, rows = run_fast(
             sim, state, nsteps,
             thermo_every=thermo_every, thermo_callback=thermo_callback,
             boundary_every=cadence, boundary_callback=on_boundary,
+            groups=groups,
         )
     else:
         from ..integrate import run as run_loop
