@@ -66,21 +66,47 @@ def shard_fast_state(fs: FastState, mesh: Mesh, sp_axis="sp",
     )
 
 
-def make_sharded_segment(sim, mesh: Mesh, sp_axis="sp"):
+def make_sharded_segment(sim, mesh: Mesh, sp_axis="sp", interpret=None):
     """Compiled segment whose outputs stay slab-sharded.
 
-    The step function itself is unchanged (fast.engine.make_fast_segment);
-    GSPMD propagates the input shardings and inserts the halo collectives.
+    Since r4 the STENCIL runs as a shard_map per-slab Pallas kernel with
+    explicit ppermute halo margins (parallel/shard_step.py — the same
+    fused Newton-half offset loop as the single-chip kernels, the
+    reference's per-rank hot kernel under brick decomposition), and the
+    rebuild cadence is REACTIVE: the skin trigger is a replicated scalar
+    reduced across shards (the all-shards-OR of VERDICT r3 #3), so
+    sharding no longer forces static cadence + hot windows.  The rest of
+    the step is the XLA chain with GSPMD-inserted collectives.  Falls
+    back to the GSPMD-only chain when the geometry doesn't admit the
+    slab kernel (shard_step.shardable) or LLE_SHARD_PALLAS=0.
+
     Output shardings are constrained so the layout is stable across the
     scan (no silent re-replication between segments).  For a combined
     replica x space mesh use make_replicated_sharded_segment.
     """
-    from ..fast.engine import make_fast_segment
+    import os
 
-    # XLA step core: the fused Pallas kernel cannot run over GSPMD-sharded
-    # planes (a pallas_call would force a gather); the XLA chain lets
-    # GSPMD insert halo collectives
-    segment, _ = make_fast_segment(sim, pallas=False, reactive=False)
+    import jax.numpy as jnp
+
+    from ..fast.engine import fast_maps, make_fast_segment
+    from .shard_step import make_sharded_kernel, shardable
+
+    system = sim.system
+    maps = fast_maps(system)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    reason = (None if jnp.dtype(system.dtype) == jnp.float32
+              else "sharded stencil is the f32 path")
+    reason = reason or shardable(system, maps, mesh, sp_axis)
+    if os.environ.get("LLE_SHARD_PALLAS", "1") == "0":
+        reason = "LLE_SHARD_PALLAS=0"
+    if reason is None:
+        kf = make_sharded_kernel(system, maps, sim.ex_btype, mesh,
+                                 sp_axis, interpret=interpret)
+        segment, _ = make_fast_segment(sim, pallas=False, reactive=True,
+                                       kernel_fn=kf)
+    else:
+        segment, _ = make_fast_segment(sim, pallas=False, reactive=False)
 
     def sharded(fs, step0, length, run_begin, run_end):
         out = segment(fs, step0, length, run_begin, run_end)

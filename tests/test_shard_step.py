@@ -1,0 +1,164 @@
+"""shard_map per-slab Pallas stencil (parallel/shard_step.py, VERDICT r3
+missing #2 / next #3).
+
+The sharded force kernel must reproduce engine.make_kernel exactly (same
+Newton-half physics, ghost folds, flags), the upgraded sharded segment
+must reproduce the unsharded reactive trajectory, and the per-step
+collective plan must stay O(1) (the reference's fixed 6-swap halo,
+src/comm_brick.cpp:150-700).  All f32 + interpret-mode pallas on the
+8-virtual-CPU-device test mesh.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from lammps_le_tpu.fast import from_fast, to_fast
+from lammps_le_tpu.fast.engine import fast_maps, make_fast_segment, \
+    make_kernel
+from lammps_le_tpu.fixes import NVE, Extrusion, Langevin
+from lammps_le_tpu.integrate import Simulation, run as run_general
+from lammps_le_tpu.io.data import system_from_data
+from lammps_le_tpu.ops.cells import minimum_image
+from lammps_le_tpu.parallel.shard_step import (make_sharded_kernel,
+                                               shardable)
+from lammps_le_tpu.parallel.spatial import (make_sharded_segment,
+                                            shard_fast_state)
+from lammps_le_tpu.scene import serpentine
+from lammps_le_tpu.state import init_state
+from lammps_le_tpu.system import (BOND_FENE, BOND_HARMONIC, BondParams,
+                                  PairLJCut)
+
+
+def _melt(n, seed=7, max_ex=32, warm=60):
+    data = serpentine(n, spacing=0.97, row_gap=1.1, seed=seed,
+                      barrier_fraction=0.01)
+    ones = np.ones((4, 4))
+    pair = PairLJCut(epsilon=ones, sigma=ones, cutoff=1.12 * ones,
+                     shift=True)
+    bonds = BondParams(
+        style=np.array([BOND_FENE, BOND_HARMONIC]),
+        coeffs=np.array([[30.0, 1.5, 1.0, 1.0], [3.0, 1.1, 0.0, 0.0]]),
+    )
+    system, _ = system_from_data(
+        data, pair=pair, bonds=bonds, dtype="float32", ex_btype=2,
+        max_extruders=max_ex, skin=0.3, rebuild_every=3, cell_cap=8,
+    )
+    wsim = Simulation(system=system, dt=0.005,
+                      fixes=(NVE(), Langevin(1.0, 1.0, 1.0, seed=5)),
+                      ex_btype=2)
+    state = init_state(system, data.x, types=data.types, seed=11)
+    state, _ = run_general(wsim, state, warm)
+    ne = max_ex // 4
+    left = np.full(max_ex, -1, np.int32)
+    right = np.full(max_ex, -1, np.int32)
+    left[:ne] = np.arange(ne) * (n // ne - 2) + 3
+    right[:ne] = left[:ne] + 2
+    state = state.replace(
+        ex_left=jnp.asarray(left), ex_right=jnp.asarray(right),
+        flags=jnp.zeros((), jnp.uint32),
+    )
+    return system, state
+
+
+def _mesh(k):
+    devices = jax.devices()[:k]
+    assert len(devices) == k
+    return Mesh(np.asarray(devices), axis_names=("sp",))
+
+
+def test_sharded_kernel_matches_make_kernel():
+    system, state = _melt(2000)
+    maps = fast_maps(system)
+    mesh = _mesh(8)
+    assert shardable(system, maps, mesh) is None, shardable(
+        system, maps, mesh)
+    sim = Simulation(system=system, dt=0.005, fixes=(NVE(),), ex_btype=2)
+    fs = to_fast(state, sim)
+    ref_k = make_kernel(system, maps, 2)
+    with mesh:
+        sh_k = make_sharded_kernel(system, maps, 2, mesh, interpret=True)
+        for energy in (False, True):
+            gr, elr, ebr, flr, clr = ref_k(fs.gx, fs.bid, fs.hn, fs.pid,
+                                           energy)
+            gs, els, ebs, fls, cls = sh_k(fs.gx, fs.bid, fs.hn, fs.pid,
+                                          energy)
+            scale = float(jnp.max(jnp.abs(gr)))
+            err = float(jnp.max(jnp.abs(gs - gr)))
+            assert err < 2e-4 * max(scale, 1.0), (energy, err, scale)
+            if energy:
+                assert abs(float(els) - float(elr)) < (
+                    5e-2 + 1e-4 * abs(float(elr)))
+                assert abs(float(ebs) - float(ebr)) < (
+                    5e-2 + 1e-4 * abs(float(ebr)))
+            assert int(cls) == int(clr)
+            assert int(fls) == int(flr)
+
+
+def test_sharded_segment_reactive_trajectory():
+    """The upgraded sharded segment (shard_map stencil + REACTIVE
+    cadence) reproduces the unsharded reactive XLA-chain trajectory
+    through rebuilds and LE events (24k beads, sp=8 — the r3 verdict's
+    exactness bar)."""
+    system, state = _melt(24_000, max_ex=128, warm=30)
+    sim = Simulation(
+        system=system, dt=0.005,
+        fixes=(NVE(), Langevin(1.0, 1.0, 10.0, seed=904297),
+               Extrusion(nevery=3, neutral_type=1, ctcf_left=2,
+                         ctcf_right=3, through_prob=0.5, btype=2,
+                         ctcf_left_right=4)),
+        ex_btype=2,
+    )
+    nsteps = 6
+    begin = int(state.step)
+    args = (jnp.asarray(begin, jnp.int32), jnp.asarray(nsteps, jnp.int32),
+            jnp.asarray(begin, jnp.int32),
+            jnp.asarray(begin + nsteps, jnp.int32))
+    segment, _ = make_fast_segment(sim, pallas=False, reactive=True)
+    ref = jax.jit(segment)(to_fast(state, sim), *args)
+
+    mesh = _mesh(8)
+    with mesh:
+        seg_sh = make_sharded_segment(sim, mesh, interpret=True)
+        fs_sh = shard_fast_state(to_fast(state, sim), mesh)
+        out = seg_sh(fs_sh, *args)
+
+    rs = from_fast(ref, system)
+    os_ = from_fast(out, system)
+    dx = minimum_image(os_.x - rs.x, system.box_size)
+    scale = float(jnp.max(jnp.abs(rs.v)))
+    assert float(jnp.max(jnp.abs(dx))) < 1e-4
+    assert float(jnp.max(jnp.abs(os_.v - rs.v))) < 1e-3 * max(scale, 1.0)
+    assert bool(jnp.all(os_.ex_left == rs.ex_left))
+    assert int(os_.flags) == int(rs.flags) == 0
+    assert int(os_.n_moves) == int(rs.n_moves)
+
+
+def test_sharded_kernel_collectives_o1():
+    """One force evaluation compiles to an O(1) collective plan: the 4
+    margin/reaction ppermutes plus the ghost-fold/assembly permutes —
+    bounded, and not scaling with N (comm_brick's fixed 6-swap)."""
+    system, state = _melt(2000)
+    maps = fast_maps(system)
+    mesh = _mesh(8)
+    sim = Simulation(system=system, dt=0.005, fixes=(NVE(),), ex_btype=2)
+    fs = to_fast(state, sim)
+    with mesh:
+        sh_k = make_sharded_kernel(system, maps, 2, mesh, interpret=True)
+        fs_sh = shard_fast_state(fs, mesh)
+
+        def once(gx, bid, hn, pid):
+            return sh_k(gx, bid, hn, pid, False)
+
+        comp = jax.jit(once).lower(
+            fs_sh.gx, fs_sh.bid, fs_sh.hn, fs_sh.pid).compile()
+    txt = comp.as_text()
+    n_cp = len(re.findall(r"collective-permute", txt))
+    n_ag = len(re.findall(r"all-gather", txt))
+    assert n_cp + n_ag > 0, "margin exchange must exist"
+    assert n_cp + n_ag < 40, (n_cp, n_ag)
