@@ -30,6 +30,13 @@ import numpy as np
 # the padded table capacity (EPAD = block-pass trip budget)
 N_EX = int(os.environ.get("LLE_PROBE_NEX", "500"))
 MAX_EX = int(os.environ.get("LLE_PROBE_MAXEX", "1024"))
+# cadence knob (VERDICT r3 weak #4/#7): 0 = non-reactive scheduling
+# (static cadence + post-event hot windows — what vmapped/GSPMD paths
+# used to pay); 1 = the production reactive trigger
+REACTIVE = os.environ.get("LLE_PROBE_REACTIVE", "1") == "1"
+# static rebuild cadence backstop (reactive mode treats it as a cap;
+# non-reactive mode rebuilds exactly every K steps)
+REBUILD = int(os.environ.get("LLE_PROBE_REBUILD", "40"))
 
 
 def measure(skin: float, cap: int, springs: bool, quick: bool):
@@ -62,7 +69,7 @@ def measure(skin: float, cap: int, springs: bool, quick: bool):
     )
     system, _ = system_from_data(
         data, pair=pair, bonds=bonds, dtype="float32",
-        ex_btype=2, max_extruders=MAX_EX, skin=skin, rebuild_every=40,
+        ex_btype=2, max_extruders=MAX_EX, skin=skin, rebuild_every=REBUILD,
         cell_cap=cap,
     )
     warm = Simulation(
@@ -107,7 +114,7 @@ def measure(skin: float, cap: int, springs: bool, quick: bool):
         state, _ = run_fast(settle, state, 100 if quick else 400)
         state = state.replace(flags=jnp.zeros((), jnp.uint32))
 
-    segment, info = make_fast_segment(sim)
+    segment, info = make_fast_segment(sim, reactive=REACTIVE)
     seg = jax.jit(segment)
     fs = to_fast(state, sim)
     begin = int(jax.device_get(fs.step))
@@ -134,7 +141,7 @@ def measure(skin: float, cap: int, springs: bool, quick: bool):
     spl = (nmeas / max(float(jax.device_get(launches)) - warm_launches, 1.0)
            if launches is not None else float("nan"))
     P = system.neighbor.nx  # report grid side; P in maps is private
-    print(f"skin={skin} cap={cap} springs={int(springs)} E={N_EX if springs else 0}/{MAX_EX} nx={P} "
+    print(f"skin={skin} cap={cap} reactive={int(REACTIVE)} springs={int(springs)} E={N_EX if springs else 0}/{MAX_EX} nx={P} "
           f"ms/step={ms:.2f} M={agg/1e6:.2f} spl={spl:.2f} "
           f"flags={int(jax.device_get(fs.flags)):#x} "
           f"clamps={int(jax.device_get(fs.n_clamps))} "

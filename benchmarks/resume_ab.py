@@ -1,0 +1,177 @@
+"""Same-phase-space A/B vs the compiled reference binary (VERDICT r3 #5).
+
+Earlier A/Bs compared independently-thermalized runs (statistics only).
+With native restart interop both engines can start from the IDENTICAL
+mid-LE phase-space point: this script runs OUR engine to a populated
+loop-extrusion state, exports a native binary restart, resumes it in
+BOTH engines with the same fixes for the same window, and compares the
+observable series (temperature, pair energy, bond energy, extruder
+count).  Langevin streams differ (RanMars vs threefry), so the window
+comparison is mean/σ equivalence from a shared initial condition —
+far tighter than independent thermalization because slow observables
+(loop population, Rg-scale structure) carry over.
+
+Usage:  python benchmarks/resume_ab.py [/path/to/lmp] [n_beads] [window]
+
+Reference surfaces: write_restart.cpp / read_restart.cpp (format),
+fix_extrusion.cpp + fix_ex_load.cpp + fix_ex_unload.cpp (LE kinetics),
+README.md:22-40 (the deck shape and cadences).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+sys.path.insert(0, HERE)
+
+from validate_vs_reference import make_le_data, parse_thermo  # noqa: E402
+
+
+_STYLES = """
+units lj
+newton off
+atom_style bond
+special_bonds fene
+neighbor 0.4 bin
+"""
+
+_FF = """
+bond_style hybrid fene harmonic
+bond_coeff 1 fene 30.0 1.5 1.0 1.0
+bond_coeff 2 harmonic 10.0 1.1
+pair_style lj/cut 1.12
+pair_modify shift yes
+pair_coeff * * 1.0 1.0 1.12
+"""
+
+# README-cadence LE fixes (config 4); seeds differ per engine by design
+_FIXES = """
+fix 1 all nve
+fix 2 all langevin 1.0 1.0 10.0 {seed}
+fix loop all extrusion 175 1 2 3 0.5 2 4
+fix loading all ex_load 70 1 1 1.12 2 prob 0.001 {seed2} iparam 1 1 jparam 1 1
+fix unloading all ex_unload 70 2 0.5 prob 0.001 {seed3}
+"""
+
+
+def _deck_prepare(n_beads, prep_steps):
+    return (_STYLES + "read_data data.le\n"
+            + _FF.replace("bond_style hybrid fene harmonic",
+                          "bond_style hybrid")
+            + "velocity all create 1.0 87287\n"
+            + _FIXES.format(seed=904297, seed2=684474, seed3=456456)
+            + f"thermo {prep_steps}\ntimestep 0.006\n"
+            + f"run {prep_steps}\n"
+            + "write_restart shared.restart\nwrite_data shared.data\n")
+
+
+def _deck_resume(window, thermo, seed):
+    return (_STYLES + "read_restart shared.restart\n" + _FF
+            + _FIXES.format(seed=seed, seed2=seed + 7, seed3=seed + 13)
+            + f"thermo {thermo}\ntimestep 0.006\nrun {window}\n"
+            + "write_data end.data\n")
+
+
+_COL = {"temp": 1, "epair": 2, "emol": 3}
+
+
+def _series(rows, key):
+    # parse_thermo returns [step temp epair emol etotal] rows
+    rows = np.asarray(rows, float)
+    return rows[:, _COL[key]] if rows.size else np.array([])
+
+
+def _ours(td, deck_name, capture_state=False):
+    from lammps_le_tpu.deck import DeckRunner
+
+    lines = []
+    r = DeckRunner(dtype="float32", root=td, quiet=True)
+    r.log = lambda m: lines.append(m)
+    r.run_file(os.path.join(td, deck_name))
+    txt = "\n".join(lines)
+    # our thermo table parses with the same reader as the reference log
+    rows = parse_thermo(txt)
+    nex = int(np.sum(np.asarray(r.state.ex_left) >= 0))
+    return rows, nex, r
+
+
+def main():
+    lmp = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lmpbuild/lmp"
+    n_beads = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    window = int(sys.argv[3]) if len(sys.argv) > 3 else 3000
+    thermo = 100
+    prep = 2000
+
+    td = tempfile.mkdtemp(prefix="resume_ab_")
+    barriers = {}
+    rng = np.random.default_rng(11)
+    for s in rng.choice(n_beads - 10, size=max(n_beads // 100, 4),
+                        replace=False):
+        barriers[int(s)] = int(rng.integers(2, 4))
+    data = make_le_data(n_beads=n_beads, barriers=barriers)
+    from lammps_le_tpu.io.data import write_data
+
+    write_data(os.path.join(td, "data.le"), data)
+
+    # phase A: OUR engine evolves to a populated mid-LE state
+    with open(os.path.join(td, "in.prep"), "w") as fh:
+        fh.write(_deck_prepare(n_beads, prep))
+    _, nex0, _ = _ours(td, "in.prep")
+    print(f"prepared shared state: {n_beads} beads, {prep} steps, "
+          f"{nex0} extruders loaded", flush=True)
+
+    # phase B1: reference resumes the shared restart
+    with open(os.path.join(td, "in.ref"), "w") as fh:
+        fh.write(_deck_resume(window, thermo, seed=555111))
+    proc = subprocess.run([lmp, "-in", "in.ref", "-log", "log.ref"],
+                          cwd=td, capture_output=True, text=True,
+                          timeout=3600)
+    if proc.returncode != 0:
+        print(proc.stdout[-3000:], proc.stderr[-1500:])
+        raise SystemExit("reference resume failed")
+    ref_rows = parse_thermo(open(os.path.join(td, "log.ref")).read())
+    from lammps_le_tpu.io.data import read_data
+
+    ref_end = read_data(os.path.join(td, "end.data"))
+    ref_nex = int(np.sum(np.asarray(ref_end.bonds)[:, 0] == 1)) \
+        if len(ref_end.bonds) else 0  # btype 2 is index 1 in 0-based
+
+    # phase B2: our engine resumes the SAME restart
+    with open(os.path.join(td, "in.ours"), "w") as fh:
+        fh.write(_deck_resume(window, thermo, seed=888222))
+    ours_rows, ours_nex, _ = _ours(td, "in.ours")
+
+    def stats(rows, k):
+        s = _series(rows, k)[1:]  # drop the step-0 row
+        return (float(s.mean()), float(s.std())) if s.size else (np.nan,
+                                                                 np.nan)
+
+    print(f"window={window} steps from the SHARED restart "
+          f"(step {prep}):")
+    verdicts = []
+    for k in ("temp", "epair", "emol"):
+        mr, sr = stats(ref_rows, k)
+        mo, so = stats(ours_rows, k)
+        tol = 3.0 * max(sr, so, 1e-6) + 0.02 * abs(mr)
+        ok = abs(mr - mo) < tol
+        verdicts.append(ok)
+        print(f"  {k:6s} ref={mr:.5g}±{sr:.2g}  ours={mo:.5g}±{so:.2g} "
+              f"{'PASS' if ok else 'FAIL'}", flush=True)
+    lo, hi = sorted((ref_nex, max(ours_nex, 1)))
+    ok_ex = ref_nex == 0 and ours_nex == 0 or hi / max(lo, 1) < 2.0
+    verdicts.append(ok_ex)
+    print(f"  extruders at window end: ref={ref_nex} ours={ours_nex} "
+          f"{'PASS' if ok_ex else 'FAIL'}")
+    print("ALL PASS" if all(verdicts) else "FAILURES PRESENT")
+    print(f"workdir: {td}")
+
+
+if __name__ == "__main__":
+    main()

@@ -653,10 +653,17 @@ def make_kernel(system: System, maps: _FastMaps, ex_btype: int):
 
 
 def whole_planes_fit(maps: _FastMaps) -> bool:
-    """Whole-plane VMEM residency gate for the fused whole-step kernel:
-    ~27 (cap, P) f32 planes (inputs + force rows + outputs) must fit under
-    ~112 MB of the 128 MB v5e VMEM."""
-    return 27 * maps.cap * maps.P * 4 <= 112 * 1024 * 1024
+    """Whole-plane VMEM residency gate for the fused whole-step kernel.
+
+    The honest envelope is EMPIRICAL: at the hardware-proven bench point
+    (cap 9, P 33664 = 100k beads) the compiled kernel uses 127.0 MB of
+    the 128 MB v5e VMEM — planes (~27x), stencil temporaries (~20 8-row
+    slabs), and the spring-pass masks all scale with cap*P, so the
+    proven point IS the ceiling (a 200k-bead grid OOM'd the scoped
+    allocator on hardware 2026-08-19 even though a planes-only estimate
+    said it fit).  Past it the XLA chain + blocked Pallas stencil take
+    over (select_kernel)."""
+    return maps.cap * maps.P <= 9 * 33664
 
 
 def select_kernel(system: System, maps: _FastMaps, ex_btype: int):
