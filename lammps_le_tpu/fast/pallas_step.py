@@ -73,7 +73,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.grid import _OFFSETS
-from ..ops.pair import _lj_tables
 from ..system import System
 
 _TF_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
@@ -138,11 +137,36 @@ class StencilConsts:
     bools — geometry (cap, window width) stays with the caller."""
 
     def __init__(self, system: System):
-        (self.lj1, self.lj2, self.lj3, self.lj4, self.cutsq, self.offe,
-         self.floorsq) = (
-            float(np.asarray(t)[0, 0]) for t in _lj_tables(
-                system, jnp.float32)
-        )
+        # numpy mirror of ops.pair._lj_tables in f32 (same op order):
+        # the jnp version becomes TRACED when a kernel builder runs
+        # inside a jitted to_fast/segment trace (system's arrays fold
+        # into tracer constants), and np.asarray on a tracer throws —
+        # the blocked-kernel selection path hit exactly that (hardware
+        # 2026-08-19).  Values land as trace-time python floats either
+        # way; production sigma/eps are 1.0 so the f32 rounding of both
+        # pipelines is identical (parity suites pin the kernels against
+        # the _lj_tables-based XLA chain regardless).
+        pp = system.pair
+        eps = np.asarray(pp.epsilon, np.float32)[0, 0]
+        sig = np.asarray(pp.sigma, np.float32)[0, 0]
+        cut = np.asarray(pp.cutoff, np.float32)[0, 0]
+        s2 = sig * sig
+        sig6 = s2 * s2 * s2
+        self.lj1 = float(np.float32(48.0 * eps * sig6 * sig6))
+        self.lj2 = float(np.float32(24.0 * eps * sig6))
+        self.lj3 = float(np.float32(4.0 * eps * sig6 * sig6))
+        self.lj4 = float(np.float32(4.0 * eps * sig6))
+        self.cutsq = float(np.float32(cut * cut))
+        if pp.shift:
+            c2 = cut * cut
+            rc6 = np.float32(c2 * c2 * c2)
+            self.offe = float(
+                np.float32(self.lj3 / (rc6 * rc6) - self.lj4 / rc6))
+        else:
+            self.offe = 0.0
+        from ..ops.pair import _RSQ_FLOOR_FRAC
+
+        self.floorsq = float(np.float32(_RSQ_FLOOR_FRAC * sig * sig))
         bts = np.asarray(system.backbone_type)
         used = bts[bts >= 0]
         if used.size:
