@@ -1,40 +1,40 @@
-"""Layer-blocked Pallas force kernel: full VMEM-kernel coverage at any N.
+"""Lane-blocked Pallas force kernel: full VMEM-kernel coverage at any N.
 
 The fused whole-step kernel (pallas_step.py) needs every (cap, P) plane
-resident in VMEM, which caps it at ~400k beads; beyond that the engine
-fell back to the XLA chain at ~6.7x the per-bead cost (PERF_NOTES 1M
-headroom entry).  This kernel removes the residency cliff for the FORCE
-evaluation — the dominant cost — by pipelining the same Newton-half
-stencil (pallas_step.make_offset_loop) over x-layer slabs:
+resident in VMEM, which caps it at the 100k-bead bench geometry
+(engine.whole_planes_fit); beyond that the engine fell back to the XLA
+chain at ~6.7x the per-bead cost (PERF_NOTES 1M headroom entry).  This
+kernel removes the residency cliff for the FORCE evaluation — the
+dominant cost — by pipelining the same Newton-half stencil
+(pallas_step.make_offset_loop) over contiguous LANE chunks:
 
-    grid = (NB,) blocks, block b owning interior layers [1+b*w, 1+(b+1)*w)
-    window = the block's w layers plus one margin layer each side,
-             DMA'd HBM->VMEM per grid step (pl.BlockSpec(memory_space=ANY)
-             inputs + pltpu.make_async_copy), so VMEM holds ~13 window
-             planes of (cap, (w+2)*sx) instead of whole (cap, P) planes
-    stencil = make_offset_loop over the window (x offsets reach at most
-              +-1 layer, which the margins guarantee locally; y/z wraps
-              stay within one layer, so window rolls are exact for every
-              in-slab i-column)
-    reverse comm: y/z ghost-column reactions fold in-window (the z->y
-              prefix of pallas_step's fold); x-margin reactions are
-              emitted per block and folded in XLA (the x suffix), giving
-              bit-identical composition to the whole-grid fold
-    output = interior-relaid force planes + per-block margin reactions +
-              per-block stat rows (e_lj, e_b, nb_found, n_clamp)
+    grid = (NB,) blocks, block b owning lanes [b*CL, (b+1)*CL) of the
+           flat halo-padded cell axis (CL a multiple of 128 — Mosaic
+           requires 128-aligned lane blocking; an earlier x-layer-window
+           design DMA'd at layer offsets and failed exactly that check
+           on hardware, 2026-08-19)
+    margins = M lanes each side (M >= the stencil roll reach sx+sy+sz,
+           rounded to 128), precomputed in XLA as (NB, 3, cap, M)
+           stacks — BlockSpec windows cannot overlap, so margins ride
+           separate block-indexed inputs; the kernel assembles
+           [lm | center | rm] in a VMEM scratch window
+    wrap = the padded input carries M wraparound lanes on both ends
+           (the whole-grid kernel's rolls are circular over P; the
+           wrap path IS the x-periodic image path)
+    reactions stay in-window (margin >= reach); margin reactions are
+           emitted per block and folded in XLA, then all six ghost
+           faces fold on the assembled planes (z -> y -> x,
+           comm_brick.cpp:519 reverse_comm; linear => fold-after-sum)
 
-This is the KOKKOS full-residency model's TPU analog (the reference runs
-one hot kernel at any N per rank, /root/reference/src/KOKKOS/, SURVEY
-§2.3): the hot loop stays on-device in a compiled kernel at every scale,
-with HBM<->VMEM staging instead of MPI ranks.  Window DMA traffic per
-step is ~(1 + 2/w) x the plane bytes — at 1M beads ~100 MB against the
-VPU-bound stencil cost, negligible on v5e HBM.
-
-Same call contract as engine.make_kernel (the XLA chain's stencil):
-``kernel(gx, bid, hn, pid, energy) -> (gf, e_lj, e_b, flags, clamps)``
-with halo-refreshed ``gx`` in, ghost columns of ``gf`` zeroed out (all
-reactions folded onto owners).  Physics parity with make_kernel is pinned
-by tests/test_blocked_kernel.py in interpreter mode.
+This is the KOKKOS full-residency model's TPU analog (the reference
+runs one hot kernel at any N per rank, /root/reference/src/KOKKOS/,
+SURVEY §2.3): the hot loop stays on-device in a compiled kernel at
+every scale, with BlockSpec-pipelined HBM<->VMEM staging instead of MPI
+ranks.  Same call contract as engine.make_kernel (the XLA chain's
+stencil): ``kernel(gx, bid, hn, pid, energy) -> (gf, e_lj, e_b, flags,
+clamps)`` with halo-refreshed ``gx`` in, ghost columns of ``gf`` folded
+onto owners.  Physics parity with make_kernel is pinned by
+tests/test_blocked_kernel.py in interpreter mode.
 
 Reference parity: pair_lj_cut.cpp:68-141, bond_fene.cpp:52-128,
 npair_half_bin_newton.cpp:35-160, comm_brick.cpp:519 (reverse_comm).
@@ -54,40 +54,30 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.grid import _OFFSETS
 from ..state import FLAG_BOND_REACH, FLAG_FENE_CLAMP
 from ..system import System
-from .pallas_step import StencilConsts, make_offset_loop
+from .pallas_step import StencilConsts, make_halo_consts, make_offset_loop
 
-# Interior layers per block.  The executed VPU work is proportional to
-# NB * (w + 2) window layers; pick_w minimizes that subject to VMEM.
-BLOCK_W = int(os.environ.get("LLE_BLOCK_W", "0"))  # 0 = auto
+# Target lanes per block (rounded to 128).  VMEM holds ~13 window planes
+# of (cap, CL + 2M); 64k lanes * cap 9 * 13 * 4 B ~= 31 MB — comfortably
+# double-bufferable.  0 = auto.
+BLOCK_LANES = int(os.environ.get("LLE_BLOCK_LANES", "0"))
 
 
-def pick_w(nx: int, cap: int, sx: int,
-           vmem_budget_mb: float = 64.0) -> int:
-    """Minimize NB*(w+2) (executed window layers) under a VMEM budget.
-
-    ~14 (cap, (w+2)*sx) f32 window planes live at once (positions x3,
-    bid/u1/pid x3, facc x3, interior/sacc/masks ~1, the out_f block ~w/
-    (w+2) x3, plus (8, WW) pair-math temporaries).
-    """
-    if BLOCK_W > 0:
-        return min(BLOCK_W, nx)
-    best, best_cost = 1, None
-    for w in range(1, nx + 1):
-        nb = -(-nx // w)
-        bytes_est = 14 * cap * (w + 2) * sx * 4
-        if bytes_est > vmem_budget_mb * 1024 * 1024:
-            continue
-        cost = nb * (w + 2)
-        if best_cost is None or cost < best_cost:
-            best, best_cost = w, cost
-    return best
+def pick_cl(P: int, M: int, cap: int,
+            vmem_budget_mb: float = 40.0) -> int:
+    """Largest 128-multiple chunk whose window fits the VMEM budget
+    (fewer blocks = less margin re-execution and fewer grid trips)."""
+    if BLOCK_LANES > 0:
+        return -(-BLOCK_LANES // 128) * 128
+    budget_lanes = int(vmem_budget_mb * 1024 * 1024 / (13 * cap * 4))
+    cl = max(budget_lanes - 2 * M, 1024)
+    return -(-min(cl, P) // 128) * 128
 
 
 _CALL_CACHE: dict = {}
 
 
 def make_blocked_kernel(system: System, maps, ex_btype: int, *,
-                        interpret: bool = False, w: int = 0):
+                        interpret: bool = False, cl: int = 0):
     dtype = jnp.dtype(system.dtype)
     assert dtype == jnp.float32, "blocked kernel is the f32 TPU path"
     n = system.n
@@ -95,131 +85,66 @@ def make_blocked_kernel(system: System, maps, ex_btype: int, *,
     sx, sy, sz = maps.strides
     cfg = system.neighbor
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
-    NXP = nx + 2
     C = StencilConsts(system)
-    kf = C.kf
 
-    w = w or pick_w(nx, cap, sx)
-    NB = -(-nx // w)
-    WW = (w + 2) * sx
-    # lane-pad the window to the 1024 (8x128) tile so every window plane
-    # tiles cleanly; the tail garbage is out of roll-reach of any valid
-    # i-column (max |shift| = sx+sy+sz < sx margin)
-    WWP = -(-WW // 1024) * 1024
-    # padded input length so every block's full-window DMA stays in
-    # bounds (the overhang past NXP layers is masked junk)
-    PP = (NB - 1) * w * sx + WW
-
-    # per-block own-layer end within the window (start is always layer 1)
-    hi_in = np.minimum(1 + (np.arange(NB) + 1) * w, nx + 1) - (
-        np.arange(NB) * w)
-    blk_tab = np.stack([np.arange(NB) * w * sx,       # window lane start
-                        hi_in.astype(np.int64) * sx],  # own-end lane
-                       axis=1).astype(np.int32)
-
-    # window face masks: periodic per layer, and windows start on layer
-    # boundaries, so ONE (5, WWP) constant serves every block.
-    lane = np.arange(WWP)
-    py, pz = ny + 2, nz + 2
-    ly = (lane % sx) // pz
-    lz = lane % pz
-    in_w = lane < WW
-    fm = np.zeros((5, WWP), np.float32)
-    fm[0] = (ly == 0) & in_w
-    fm[1] = (ly == py - 1) & in_w
-    fm[2] = (lz == 0) & in_w
-    fm[3] = (lz == pz - 1) & in_w
-    fm[4] = (ly >= 1) & (ly <= ny) & (lz >= 1) & (lz <= nz) & in_w
-    # y/z halo fold shifts within the window (reverse_comm prefix)
-    fold_shifts = ((ny * sy) % WWP, ((-ny * sy) % WWP),
-                   (nz * sz) % WWP, ((-nz * sz) % WWP))
+    M = -(-(sx + sy + sz) // 128) * 128     # margin: roll reach, aligned
+    CL = cl or pick_cl(P, M, cap)
+    CL = -(-CL // 128) * 128
+    NB = -(-P // CL)
+    L = NB * CL                              # padded center length
+    Wp = CL + 2 * M                          # window lanes per block
 
     half_offsets = [(0, 0, 0)] + [o for o in _OFFSETS if o > (0, 0, 0)]
     NOFF = len(half_offsets)
     deltas = np.array(
-        [(-(a * sx + b * sy + c * sz)) % WWP for (a, b, c) in half_offsets]
-        + [(a * sx + b * sy + c * sz) % WWP for (a, b, c) in half_offsets],
+        [(-(a * sx + b * sy + c * sz)) % Wp for (a, b, c) in half_offsets]
+        + [(a * sx + b * sy + c * sz) % Wp for (a, b, c) in half_offsets],
         np.int32,
     )
-
-    W_SX = w * sx
+    aux_np, halo_shifts, _ = make_halo_consts(system, maps)
+    # interior mask over the padded center (tail garbage zeroed)
+    int_pad = np.zeros(L, np.float32)
+    int_pad[:P] = aux_np[6]
+    far = 5.0 * float(max(system.box_size))
 
     def build_call(energy: bool):
-        run_offsets = make_offset_loop(C, cap, WWP, NOFF, energy, interpret)
+        run_offsets = make_offset_loop(C, cap, Wp, NOFF, energy, interpret)
 
-        def kernel(tab_ref, d_ref, gx_ref, u1_ref, bid_ref, pid_ref,
-                   fm_ref, outf_ref, marg_ref, stats_ref,
-                   xw_ref, u1w_ref, bidw_ref, pidw_ref,
-                   facc_ref, sacc_ref, sems):
-            b = pl.program_id(0)
-            ws = tab_ref[b, 0]
-            he = tab_ref[b, 1]
-
-            dmas = []
-            for c in range(3):
-                dmas.append(pltpu.make_async_copy(
-                    gx_ref.at[c, :, pl.ds(ws, WW)],
-                    xw_ref.at[c, :, pl.ds(0, WW)], sems.at[c]))
-            dmas.append(pltpu.make_async_copy(
-                u1_ref.at[:, pl.ds(ws, WW)],
-                u1w_ref.at[:, pl.ds(0, WW)], sems.at[3]))
-            dmas.append(pltpu.make_async_copy(
-                bid_ref.at[:, pl.ds(ws, WW)],
-                bidw_ref.at[:, pl.ds(0, WW)], sems.at[4]))
-            dmas.append(pltpu.make_async_copy(
-                pid_ref.at[:, pl.ds(ws, WW)],
-                pidw_ref.at[:, pl.ds(0, WW)], sems.at[5]))
-            for d in dmas:
-                d.start()
-            for d in dmas:
-                d.wait()
-            if WWP > WW:
-                # finite-fill the tile-pad tail: pair_math's dx = xi - XJ
-                # evaluates UNMASKED before the 0/1 weights — scratch
-                # garbage (NaN on the interpreter, arbitrary bits on
-                # hardware) would ride dx*0 into the reaction rolls.
-                # Values are irrelevant (fm/valid masks are 0 there and
-                # no valid i-column's roll reaches past WW); they only
-                # need to be finite.
-                xw_ref[:, :, WW:WWP] = jnp.zeros(
-                    (3, cap, WWP - WW), jnp.float32)
-                bidw_ref[:, WW:WWP] = jnp.full(
-                    (cap, WWP - WW), n, jnp.int32)
-                u1w_ref[:, WW:WWP] = jnp.full(
-                    (cap, WWP - WW), n + 2, jnp.int32)
-                pidw_ref[:, WW:WWP] = jnp.full(
-                    (cap, WWP - WW), -1, jnp.int32)
+        def kernel(d_ref, xc_ref, xl_ref, xr_ref, ic_ref,
+                   bc_ref, bl_ref, br_ref,
+                   uc_ref, ul_ref, ur_ref,
+                   pc_ref, pl_, pr_ref,
+                   outf_ref, marg_ref, stats_ref,
+                   xw_ref, bidw_ref, u1w_ref, pidw_ref, vw_ref,
+                   facc_ref, sacc_ref):
+            # assemble the [lm | center | rm] window in VMEM scratch
+            xw_ref[:, :, :M] = xl_ref[0]
+            xw_ref[:, :, M:M + CL] = xc_ref[...]
+            xw_ref[:, :, M + CL:] = xr_ref[0]
+            bidw_ref[:, :M] = bl_ref[0]
+            bidw_ref[:, M:M + CL] = bc_ref[...]
+            bidw_ref[:, M + CL:] = br_ref[0]
+            u1w_ref[:, :M] = ul_ref[0]
+            u1w_ref[:, M:M + CL] = uc_ref[...]
+            u1w_ref[:, M + CL:] = ur_ref[0]
+            pidw_ref[:, :M] = pl_[0]
+            pidw_ref[:, M:M + CL] = pc_ref[...]
+            pidw_ref[:, M + CL:] = pr_ref[0]
+            # own-lane mask: interior center lanes own; margins never
+            vw_ref[:, :M] = jnp.zeros((1, M), jnp.float32)
+            vw_ref[:, M:M + CL] = ic_ref[...]
+            vw_ref[:, M + CL:] = jnp.zeros((1, M), jnp.float32)
 
             bid = bidw_ref[...]
             u1 = u1w_ref[...]
-            lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, WWP), 1)
-            own = (lane_i >= sx) & (lane_i < he)
-            valid = jnp.where((bid < n) & own, fm_ref[4:5, :], 0.0)
-
-            facc_ref[...] = jnp.zeros((3, cap, WWP), jnp.float32)
-            sacc_ref[...] = jnp.zeros((4, WWP), jnp.float32)
+            valid = jnp.where(bid < n, vw_ref[...], 0.0)
+            facc_ref[...] = jnp.zeros((3, cap, Wp), jnp.float32)
+            sacc_ref[...] = jnp.zeros((4, Wp), jnp.float32)
             run_offsets(d_ref, xw_ref, bid, u1, pidw_ref, valid,
                         facc_ref, sacc_ref)
-
-            # in-window reverse comm, z then y (x is the margin fold,
-            # applied by the XLA wrapper — same composition as
-            # pallas_step's z->y->x fold)
-            for axis in (1, 0):
-                m_lo = fm_ref[2 * axis:2 * axis + 1, :]
-                m_hi = fm_ref[2 * axis + 1:2 * axis + 2, :]
-                keep = 1.0 - m_lo - m_hi
-                f_lo, f_hi = fold_shifts[2 * axis], fold_shifts[2 * axis + 1]
-                for comp in range(3):
-                    F = facc_ref[comp]
-                    facc_ref[comp] = (
-                        F * keep
-                        + pltpu.roll(F * m_lo, f_lo, 1)
-                        + pltpu.roll(F * m_hi, f_hi, 1)
-                    )
-
-            outf_ref[...] = facc_ref[:, :, sx:sx + W_SX]
-            marg_ref[0, :, :, :sx] = facc_ref[:, :, :sx]
-            marg_ref[0, :, :, sx:] = facc_ref[:, :, pl.ds(he, sx)]
+            outf_ref[...] = facc_ref[:, :, M:M + CL]
+            marg_ref[0, :, :, :M] = facc_ref[:, :, :M]
+            marg_ref[0, :, :, M:] = facc_ref[:, :, M + CL:]
             stats_ref[0] = jnp.concatenate([
                 jnp.full((1, 128), jnp.sum(sacc_ref[0:1, :]), jnp.float32),
                 jnp.full((1, 128), jnp.sum(sacc_ref[1:2, :]), jnp.float32),
@@ -227,36 +152,39 @@ def make_blocked_kernel(system: System, maps, ex_btype: int, *,
                 jnp.full((1, 128), jnp.sum(sacc_ref[3:4, :]), jnp.float32),
             ], axis=0)
 
+        sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+        c3 = pl.BlockSpec((3, cap, CL), lambda b: (0, 0, b))
+        c2 = pl.BlockSpec((cap, CL), lambda b: (0, b))
+        c1 = pl.BlockSpec((1, CL), lambda b: (0, b))
+        m3 = pl.BlockSpec((1, 3, cap, M), lambda b: (b, 0, 0, 0))
+        m2 = pl.BlockSpec((1, cap, M), lambda b: (b, 0, 0))
         return pl.pallas_call(
             kernel,
             grid=(NB,),
             out_shape=[
-                jax.ShapeDtypeStruct((3, cap, NB * W_SX), jnp.float32),
-                jax.ShapeDtypeStruct((NB, 3, cap, 2 * sx), jnp.float32),
+                jax.ShapeDtypeStruct((3, cap, L), jnp.float32),
+                jax.ShapeDtypeStruct((NB, 3, cap, 2 * M), jnp.float32),
                 jax.ShapeDtypeStruct((NB, 4, 128), jnp.float32),
             ],
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # blk_tab
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # deltas
-                pl.BlockSpec(memory_space=pl.ANY),    # gx (padded)
-                pl.BlockSpec(memory_space=pl.ANY),    # u1
-                pl.BlockSpec(memory_space=pl.ANY),    # bid
-                pl.BlockSpec(memory_space=pl.ANY),    # pid
-                pl.BlockSpec((5, WWP), lambda b: (0, 0)),  # face masks
-            ],
+            in_specs=[sm,                    # deltas
+                      c3, m3, m3,            # x center/left/right
+                      c1,                    # interior lane rows (center)
+                      c2, m2, m2,            # bid
+                      c2, m2, m2,            # u1
+                      c2, m2, m2],           # pid
             out_specs=[
-                pl.BlockSpec((3, cap, W_SX), lambda b: (0, 0, b)),
-                pl.BlockSpec((1, 3, cap, 2 * sx), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((3, cap, CL), lambda b: (0, 0, b)),
+                pl.BlockSpec((1, 3, cap, 2 * M), lambda b: (b, 0, 0, 0)),
                 pl.BlockSpec((1, 4, 128), lambda b: (b, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((3, cap, WWP), jnp.float32),
-                pltpu.VMEM((cap, WWP), jnp.int32),
-                pltpu.VMEM((cap, WWP), jnp.int32),
-                pltpu.VMEM((cap, WWP), jnp.int32),
-                pltpu.VMEM((3, cap, WWP), jnp.float32),
-                pltpu.VMEM((4, WWP), jnp.float32),
-                pltpu.SemaphoreType.DMA((6,)),
+                pltpu.VMEM((3, cap, Wp), jnp.float32),
+                pltpu.VMEM((cap, Wp), jnp.int32),
+                pltpu.VMEM((cap, Wp), jnp.int32),
+                pltpu.VMEM((cap, Wp), jnp.int32),
+                pltpu.VMEM((1, Wp), jnp.float32),
+                pltpu.VMEM((3, cap, Wp), jnp.float32),
+                pltpu.VMEM((4, Wp), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=int(os.environ.get(
@@ -265,29 +193,31 @@ def make_blocked_kernel(system: System, maps, ex_btype: int, *,
         )
 
     cache_key = (nx, ny, nz, cap, P, n, system.box_size, C.key(),
-                 w, interpret)
+                 CL, interpret)
     calls = _CALL_CACHE.get(cache_key)
     if calls is None:
         calls = {e: build_call(e) for e in (False, True)}
         _CALL_CACHE[cache_key] = calls
 
-    tab_arr = jnp.asarray(blk_tab)
     d_arr = jnp.asarray(deltas)
-    fm_arr = jnp.asarray(fm)
+    int_center = jnp.asarray(int_pad)[None, :]          # (1, L)
     interior = jnp.asarray(maps.interior)
-    # fold targets for each block's margins (static python ints):
-    # window layer 0 = global layer b*w (ghost 0 folds onto layer nx);
-    # window layer he/sx = global layer b*w + he/sx (ghost nx+1 folds
-    # onto layer 1)
-    lo_tgt = [nx if b == 0 else b * w for b in range(NB)]
-    hi_tgt = [1 if b * w + int(hi_in[b]) == nx + 1 else b * w + int(hi_in[b])
-              for b in range(NB)]
+    aux_all = jnp.asarray(aux_np)
+    # margin source lanes (circular over P, matching the whole-grid
+    # kernel's rolls): left margin of block b = lanes [b*CL-M, b*CL),
+    # right margin = [ (b+1)*CL, (b+1)*CL + M ) — both mod P.  Static
+    # per-block gather indices, applied in XLA as cheap lane slices.
+    lm_idx = (np.arange(NB)[:, None] * CL
+              + np.arange(-M, 0)[None, :]) % P          # (NB, M)
+    rm_idx = ((np.arange(NB)[:, None] + 1) * CL
+              + np.arange(M)[None, :]) % P
+    lm_i = jnp.asarray(lm_idx)
+    rm_i = jnp.asarray(rm_idx)
 
     def kernel_fn(gx, bid, hn, pid, energy: bool):
         u1 = jnp.where(hn, bid + 1, n + 2)
-        pad = PP - P
+        pad = L - P
         if pad > 0:
-            far = 5.0 * float(max(system.box_size))
             gx_p = jnp.pad(gx, ((0, 0), (0, 0), (0, pad)),
                            constant_values=far)
             u1_p = jnp.pad(u1, ((0, 0), (0, pad)), constant_values=n + 2)
@@ -296,16 +226,36 @@ def make_blocked_kernel(system: System, maps, ex_btype: int, *,
         else:
             gx_p, u1_p, bid_p, pid_p = gx, u1, bid, pid
 
-        out_f, marg, stats = calls[bool(energy)](
-            tab_arr, d_arr, gx_p, u1_p, bid_p, pid_p, fm_arr)
+        def margins(a):
+            # (..., P) -> (NB, ..., M) stacks via one static take each
+            lm = jnp.moveaxis(a[..., lm_i], -2, 0)
+            rm = jnp.moveaxis(a[..., rm_i], -2, 0)
+            return lm, rm
 
-        gf = jnp.zeros((3, cap, P), jnp.float32)
-        gf = gf.at[:, :, sx:sx + nx * sx].set(out_f[:, :, :nx * sx])
+        xl, xr = margins(gx)
+        bl, br = margins(bid)
+        ul, ur = margins(u1)
+        pll, prr = margins(pid)
+
+        out_f, marg, stats = calls[bool(energy)](
+            d_arr, gx_p, xl, xr, int_center,
+            bid_p, bl, br, u1_p, ul, ur, pid_p, pll, prr)
+
+        gf = out_f[:, :, :P]
+        # fold each block's margin reactions onto their owner lanes
+        # (circular, mirroring the gather above)
         for b in range(NB):
-            t = lo_tgt[b]
-            gf = gf.at[:, :, t * sx:(t + 1) * sx].add(marg[b, :, :, :sx])
-            t = hi_tgt[b]
-            gf = gf.at[:, :, t * sx:(t + 1) * sx].add(marg[b, :, :, sx:])
+            gf = gf.at[:, :, lm_idx[b]].add(marg[b, :, :, :M])
+            gf = gf.at[:, :, rm_idx[b]].add(marg[b, :, :, M:])
+        # ghost fold on the assembled planes, z -> y -> x
+        for axis in (2, 1, 0):
+            s_lo, s_hi = halo_shifts[axis]
+            m_lo = aux_all[2 * axis:2 * axis + 1, :]
+            m_hi = aux_all[2 * axis + 1:2 * axis + 2, :]
+            keep = 1.0 - m_lo - m_hi
+            gf = (gf * keep
+                  + jnp.roll(gf * m_lo, (P - s_lo) % P, axis=-1)
+                  + jnp.roll(gf * m_hi, (P - s_hi) % P, axis=-1))
 
         tots = jnp.sum(stats[:, :, 0], axis=0)
         e_lj = 0.5 * tots[0]
@@ -325,6 +275,7 @@ def make_blocked_kernel(system: System, maps, ex_btype: int, *,
         )
         return gf, e_lj, e_b, fl, clamps
 
-    kernel_fn.block_w = w
+    kernel_fn.block_lanes = CL
     kernel_fn.n_blocks = NB
+    kernel_fn.margin = M
     return kernel_fn

@@ -50,22 +50,22 @@ def _make_case(n=600, seed=3):
     return system, fs
 
 
-@pytest.mark.parametrize("w_mode", ["nb1", "even", "partial"])
-def test_blocked_kernel_matches_xla_interpret(w_mode):
+@pytest.mark.parametrize("cl_mode", ["nb1", "even", "partial"])
+def test_blocked_kernel_matches_xla_interpret(cl_mode):
     from lammps_le_tpu.fast.blocked_kernel import make_blocked_kernel
 
     system, fs = _make_case()
     maps = fast_maps(system)
-    nx = system.neighbor.nx
-    if w_mode == "nb1":
-        w = nx
-    elif w_mode == "even":
-        w = next(d for d in range(max(nx // 3, 1), nx) if nx % d == 0)
+    P = maps.P
+    if cl_mode == "nb1":
+        cl = -(-P // 128) * 128              # one block covers all
+    elif cl_mode == "even":
+        cl = P // 2 if (P // 2) % 128 == 0 else 128 * (P // 256)
     else:
-        w = next(d for d in range(2, nx) if nx % d != 0)
+        cl = 384                             # partial last block
     xla_k = make_kernel(system, maps, 2)
-    blk_k = make_blocked_kernel(system, maps, 2, interpret=True, w=w)
-    assert blk_k.block_w == w
+    blk_k = make_blocked_kernel(system, maps, 2, interpret=True, cl=cl)
+    assert blk_k.block_lanes % 128 == 0
 
     for energy in (True, False):
         gf_x, el_x, eb_x, fl_x, cl_x = xla_k(fs.gx, fs.bid, fs.hn, fs.pid,
@@ -91,7 +91,7 @@ def test_blocked_kernel_ghost_fold_zeroes_ghost_columns():
 
     system, fs = _make_case(seed=4)
     maps = fast_maps(system)
-    blk_k = make_blocked_kernel(system, maps, 2, interpret=True, w=3)
+    blk_k = make_blocked_kernel(system, maps, 2, interpret=True, cl=512)
     gf, *_ = blk_k(fs.gx, fs.bid, fs.hn, fs.pid, False)
     ghost = ~np.asarray(maps.interior)
     assert float(jnp.max(jnp.abs(gf[:, :, jnp.asarray(ghost)]))) == 0.0
