@@ -56,20 +56,25 @@ from ..state import FLAG_BOND_REACH, FLAG_FENE_CLAMP
 from ..system import System
 from .pallas_step import StencilConsts, make_halo_consts, make_offset_loop
 
-# Target lanes per block (rounded to 128).  VMEM holds ~13 window planes
-# of (cap, CL + 2M); 64k lanes * cap 9 * 13 * 4 B ~= 31 MB — comfortably
-# double-bufferable.  0 = auto.
+# Target lanes per block (rounded to 128).  0 = auto (pick_cl).
 BLOCK_LANES = int(os.environ.get("LLE_BLOCK_LANES", "0"))
 
+# Empirical VMEM envelope of the compiled window kernel (hardware,
+# 2026-08-19: 139.07 MB total at Wp = 46848, cap 9, of which 61.6 MB is
+# Mosaic register spill slots — spills, planes, double-buffered staging
+# and the offset-loop temporaries ALL scale with cap * Wp): ~330 bytes
+# per lane per cap row.  Budget 100 MB of the 128 MB v5e VMEM.
+_BYTES_PER_LANE_ROW = 330.0
+_VMEM_BUDGET = 100 * 1024 * 1024
 
-def pick_cl(P: int, M: int, cap: int,
-            vmem_budget_mb: float = 40.0) -> int:
-    """Largest 128-multiple chunk whose window fits the VMEM budget
+
+def pick_cl(P: int, M: int, cap: int) -> int:
+    """Largest 128-multiple chunk whose window fits the VMEM envelope
     (fewer blocks = less margin re-execution and fewer grid trips)."""
     if BLOCK_LANES > 0:
         return -(-BLOCK_LANES // 128) * 128
-    budget_lanes = int(vmem_budget_mb * 1024 * 1024 / (13 * cap * 4))
-    cl = max(budget_lanes - 2 * M, 1024)
+    wp_max = int(_VMEM_BUDGET / (_BYTES_PER_LANE_ROW * cap))
+    cl = max(wp_max - 2 * M, 1024)
     return -(-min(cl, P) // 128) * 128
 
 
