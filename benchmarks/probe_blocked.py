@@ -80,8 +80,9 @@ def parity(n_beads: int):
     fs = to_fast(state, warm)
     xla_k = make_kernel(system, maps, 2)
     blk_k = make_blocked_kernel(system, maps, 2)
-    print(f"n={n_beads} nx={system.neighbor.nx} block_w={blk_k.block_w} "
-          f"n_blocks={blk_k.n_blocks}", flush=True)
+    print(f"n={n_beads} nx={system.neighbor.nx} "
+          f"block_lanes={blk_k.block_lanes} n_blocks={blk_k.n_blocks} "
+          f"margin={blk_k.margin}", flush=True)
     for energy in (False, True):
         gx, bid, hn, pid = fs.gx, fs.bid, fs.hn, fs.pid
         fx, elx, ebx, flx, clx = jax.jit(
