@@ -270,8 +270,9 @@ def config6(quick=False):
     """Scale-out headroom: 1M-bead chromosome on ONE chip (SURVEY §7 stage
     7; the reference needs multi-rank comm_brick past ~1 node,
     src/comm_brick.cpp:150).  Reports memory/occupancy headroom alongside
-    throughput; the Pallas whole-step core auto-falls-back to the XLA chain
-    at this size (planes exceed VMEM — engine._pallas_step_mode)."""
+    throughput; past the whole-plane VMEM cliff the XLA chain drives the
+    step with its stencil on the layer-blocked Pallas kernel
+    (engine.select_kernel -> fast/blocked_kernel.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -282,9 +283,11 @@ def config6(quick=False):
 
     n_beads = 1_000_000
     steps = 100 if quick else 600
+    # cap 9 is the blocked kernel's hardware-calibrated geometry (cap 8
+    # spills ~2.1x more VMEM per lane — blocked_kernel._BYTES_PER_LANE)
     system, data = _chain_system(
         1, n_beads, rebuild_every=4, skin=0.30,
-        max_extruders=8192, cell_cap=8,
+        max_extruders=8192, cell_cap=9,
     )
     nb = system.neighbor
     log(f"grid {nb.nx}x{nb.ny}x{nb.nz} cell {nb.cell_size:.3f} "

@@ -59,12 +59,17 @@ from .pallas_step import StencilConsts, make_halo_consts, make_offset_loop
 # Target lanes per block (rounded to 128).  0 = auto (pick_cl).
 BLOCK_LANES = int(os.environ.get("LLE_BLOCK_LANES", "0"))
 
-# Empirical VMEM envelope of the compiled window kernel (hardware,
-# 2026-08-19: 139.07 MB total at Wp = 46848, cap 9, of which 61.6 MB is
-# Mosaic register spill slots — spills, planes, double-buffered staging
-# and the offset-loop temporaries ALL scale with cap * Wp): ~330 bytes
-# per lane per cap row.  Budget 100 MB of the 128 MB v5e VMEM.
-_BYTES_PER_LANE_ROW = 330.0
+# Empirical VMEM envelope of the compiled window kernel — MEASURED, not
+# modeled, because Mosaic's register-spill volume is cap-dependent in a
+# way no plane arithmetic predicts (hardware, 2026-08-19):
+#   cap 9: 139.07 MB total at Wp = 46848  -> 2968 B/lane (330/cap-row)
+#   cap 8: 143.57 MB total at Wp = 39808  -> 3606 B/lane (451/cap-row) —
+#          the tail-less j-split (JT == cap) spills ~2.1x MORE per lane
+#          than cap 9 despite executing fewer rows (config-6 compile OOM,
+#          112.25 MB of spill slots).
+# Caps without a calibration point extrapolate linearly from the WORST
+# measured coefficient.  Budget 100 MB of the 128 MB v5e VMEM.
+_BYTES_PER_LANE = {8: 3610.0, 9: 2970.0}
 _VMEM_BUDGET = 100 * 1024 * 1024
 
 
@@ -73,7 +78,8 @@ def pick_cl(P: int, M: int, cap: int) -> int:
     (fewer blocks = less margin re-execution and fewer grid trips)."""
     if BLOCK_LANES > 0:
         return -(-BLOCK_LANES // 128) * 128
-    wp_max = int(_VMEM_BUDGET / (_BYTES_PER_LANE_ROW * cap))
+    bpl = _BYTES_PER_LANE.get(cap, 3610.0 / 8.0 * cap)
+    wp_max = int(_VMEM_BUDGET / bpl)
     cl = max(wp_max - 2 * M, 1024)
     return -(-min(cl, P) // 128) * 128
 
