@@ -103,6 +103,13 @@ def _ours(td, deck_name, capture_state=False):
 
 
 def main():
+    # LLE_PLATFORM=cpu runs the A/B off-TPU (the axon sitecustomize
+    # ignores JAX_PLATFORMS env; only jax.config.update sticks)
+    plat = os.environ.get("LLE_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     lmp = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lmpbuild/lmp"
     n_beads = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
     window = int(sys.argv[3]) if len(sys.argv) > 3 else 3000

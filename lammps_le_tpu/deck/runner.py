@@ -299,8 +299,29 @@ class DeckRunner:
         self.timestep0 = 0
         self._dirty = True
 
+    def _type_bounds(self, spec: str, n_types: int):
+        """LAMMPS utils::bounds type-range syntax: N, *, N*, *N, N*M
+        (reference: src/utils.cpp bounds; atom->set_mass uses it)."""
+        if "*" not in spec:
+            return [int(spec)]
+        lo, _, hi = spec.partition("*")
+        lo = int(lo) if lo else 1
+        hi = int(hi) if hi else n_types
+        if lo < 1 or hi > n_types or lo > hi:
+            raise DeckError(f"type range {spec!r} out of bounds "
+                            f"(1..{n_types})")
+        return list(range(lo, hi + 1))
+
     def cmd_mass(self, args):
-        self.masses[int(args[0])] = float(args[1])
+        if "*" in args[0]:
+            if self.data is None:
+                raise DeckError("mass with a type wildcard before the "
+                                "box exists (read_data/create_box)")
+            types = self._type_bounds(args[0], self.data.n_atom_types)
+        else:
+            types = [int(args[0])]
+        for t in types:
+            self.masses[t] = float(args[1])
         self._dirty = True
 
     def cmd_pair_style(self, args):

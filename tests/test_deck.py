@@ -41,6 +41,29 @@ def _write_tiny(td):
     write_data(os.path.join(td, "data.tiny"), data)
 
 
+def test_mass_type_wildcard(tmp_path):
+    """mass accepts utils::bounds ranges: *, N*, *N, N*M (utils.cpp)."""
+    import pytest
+
+    from lammps_le_tpu.deck.runner import DeckError
+
+    td = str(tmp_path)
+    _write_tiny(td)
+    deck = ("units lj\natom_style bond\nread_data data.tiny\n"
+            "mass * 2.5\nmass 2*3 1.5\nmass *2 3.5\n")
+    path = os.path.join(td, "in.mass")
+    with open(path, "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(path)
+    assert r.masses == {1: 3.5, 2: 3.5, 3: 1.5, 4: 2.5}
+    with open(path, "w") as fh:
+        fh.write("units lj\natom_style bond\nread_data data.tiny\n"
+                 "mass 3*9 1.0\n")
+    with pytest.raises(DeckError):
+        DeckRunner(dtype="float32", quiet=True).run_file(path)
+
+
 def test_deck_end_to_end(tmp_path):
     td = str(tmp_path)
     _write_tiny(td)
