@@ -90,12 +90,31 @@ def parse_deck(text: str, variables: Optional[dict] = None) -> Deck:
     return Deck(commands=cmds)
 
 
+def _math_funcs():
+    """Math functions of equal-style variables (src/variable.cpp
+    math_function(): note the reference's log() is log10 and ln() is
+    natural log)."""
+    import math
+
+    return {
+        "sqrt": math.sqrt, "exp": math.exp, "ln": math.log,
+        "log": math.log10, "abs": abs, "sin": math.sin, "cos": math.cos,
+        "tan": math.tan, "asin": math.asin, "acos": math.acos,
+        "atan": math.atan, "atan2": math.atan2, "pow": math.pow,
+        "floor": math.floor, "ceil": math.ceil, "round": round,
+        "min": min, "max": max,
+    }
+
+
 def _eval_expr(text: str, variables: dict):
-    """Arithmetic subset of equal-style variables
-    (reference: src/variable.cpp:5223 supports a full expression language;
-    decks in the LE workflow use numbers and simple arithmetic).
-    Supports + - * / ^ ( ), numeric literals, and v_name references."""
+    """Arithmetic + math-function subset of equal-style variables
+    (reference: src/variable.cpp:5223 expression language; this covers
+    the arithmetic, v_name references, PI, and the pure math functions —
+    thermo/compute/fix references are resolved live by deck.script).
+    Supports + - * / ^ % ( ), numeric literals, v_name, and
+    sqrt/exp/ln/log/abs/trig/atan2/pow/floor/ceil/round/min/max."""
     import ast
+    import math
     import re as _re
 
     expr = _re.sub(r"v_(\w+)", lambda m: str(variables[m.group(1)]), text)
@@ -105,17 +124,29 @@ def _eval_expr(text: str, variables: dict):
     except SyntaxError:
         return text  # not arithmetic: keep as string
 
+    funcs = _math_funcs()
     allowed = (ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant,
                ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Pow, ast.USub,
-               ast.UAdd, ast.Mod, ast.FloorDiv)
+               ast.UAdd, ast.Mod, ast.FloorDiv, ast.Call, ast.Name,
+               ast.Load)
     for node in ast.walk(tree):
         if not isinstance(node, allowed):
             return text
+        if isinstance(node, ast.Call):
+            if (not isinstance(node.func, ast.Name)
+                    or node.func.id not in funcs or node.keywords):
+                return text
+        if isinstance(node, ast.Name):
+            if node.id != "PI" and node.id not in funcs:
+                return text
     if isinstance(tree.body, ast.Constant):
         # a bare literal: keep the user's spelling ("1.0" stays "1.0",
         # matching the reference's textual substitution, input.cpp:508)
         return text
-    value = eval(compile(tree, "<variable>", "eval"), {"__builtins__": {}})
+    value = eval(compile(tree, "<variable>", "eval"),
+                 {"__builtins__": {}, "PI": math.pi, **funcs})
+    if not isinstance(value, (int, float)):
+        return text  # e.g. a bare function name
     if isinstance(value, float) and value.is_integer():
         return int(value)
     return value

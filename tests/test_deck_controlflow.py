@@ -75,6 +75,28 @@ if "$n > 15" then "run $n"
     assert int(r.state.step) == 30  # 10 (then-branch) + 20 (n = 20)
 
 
+def test_variable_math_functions(tmp_path):
+    """Equal variables support variable.cpp's math functions; the
+    reference's log() is log10, ln() is natural (math_function())."""
+    from lammps_le_tpu.deck.parser import _eval_expr
+
+    td = str(tmp_path)
+    path = _prep(td, """
+variable r equal sqrt(16)
+variable two equal ln(exp(2))
+variable lg equal log(1000)
+variable tot equal v_r+floor(2.9)+max(v_two,1)
+if "${tot} == 8" then "run 8"
+""")
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(path)
+    assert int(r.state.step) == 8  # 4 + 2 + 2 via the math functions
+    assert _eval_expr("2*PI", {}) == 2 * 3.141592653589793
+    # injection attempts stay inert strings
+    assert _eval_expr("__import__('os')", {}) == "__import__('os')"
+    assert _eval_expr("sqrt", {}) == "sqrt"
+
+
 def test_include_and_run_upto(tmp_path):
     td = str(tmp_path)
     with open(os.path.join(td, "stage.inc"), "w") as fh:
