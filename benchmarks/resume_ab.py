@@ -73,9 +73,19 @@ def _deck_prepare(n_beads, prep_steps):
 
 
 def _deck_resume(window, thermo, seed):
+    # ex_load is EXCLUDED from the resume window: the reference's own
+    # fix ex_load corrupts its topology (VALIDATION.md defect 1) — a
+    # first attempt with loading on died in the reference binary with
+    # 'Bad FENE bond' (bond_fene.cpp:90) ~900 steps into the window
+    # (2026-08-19).  The window still exercises extrusion + unload
+    # kinetics from the shared mid-LE state.
+    fixes = "\n".join(
+        ln for ln in _FIXES.format(
+            seed=seed, seed2=seed + 7, seed3=seed + 13).splitlines()
+        if not ln.startswith("fix loading"))
     return (_STYLES + "read_restart shared.restart\n" + _FF
-            + _FIXES.format(seed=seed, seed2=seed + 7, seed3=seed + 13)
-            + f"thermo {thermo}\ntimestep 0.006\nrun {window}\n"
+            + fixes
+            + f"\nthermo {thermo}\ntimestep 0.006\nrun {window}\n"
             + "write_data end.data\n")
 
 

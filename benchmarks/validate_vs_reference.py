@@ -53,6 +53,9 @@ def parse_thermo(text):
         if re.match(r"\s*Step\s+Temp", line):
             grab = True
             continue
+        if grab and line.lstrip().startswith("Engine:"):
+            # our engine-selection notice prints after the header
+            continue
         if grab:
             m = re.match(r"\s*(\d+)\s+([-\d.eE+]+)\s+([-\d.eE+]+)\s+"
                          r"([-\d.eE+]+)\s+([-\d.eE+]+)", line)

@@ -482,10 +482,13 @@ class DeckRunner:
                                   "nbins": nbins, "rmax": rmax,
                                   "fn": None}
             return
-        if style not in ("gyration", "msd", "temp", "pressure"):
+        if style not in ("gyration", "msd", "temp", "pressure", "ke",
+                         "pe", "com"):
             raise DeckError(f"unsupported compute style {style}")
-        # temp/pressure (src/compute_temp.cpp, src/compute_pressure.cpp):
-        # scalar diagnostics usable as thermo c_ID and in live variables
+        # temp/pressure/ke/pe scalars + com 3-vector (src/compute_temp.cpp,
+        # compute_pressure.cpp, compute_ke.cpp, compute_pe.cpp,
+        # compute_com.cpp): usable as thermo c_ID / c_ID[n] and in live
+        # variables
         self.computes[cid] = {"style": style, "group": group, "x0": None}
 
     def cmd_uncompute(self, args):
@@ -503,11 +506,56 @@ class DeckRunner:
         box = jnp.asarray(self.system.box_size, st.x.dtype)
         return st.x + st.img.astype(st.x.dtype) * box
 
-    def _compute_value(self, cid, st):
+    def _parse_cref(self, text):
+        """Split a compute reference 'ID' / 'ID[n]' -> (cid, idx|None)."""
+        import re as _re
+
+        m = _re.fullmatch(r"(\w+)\[(\d+)\]", text)
+        if m:
+            return m.group(1), int(m.group(2))
+        return text, None
+
+    def _group_mask(self, group):
+        """Boolean (n,) mask for a group name (None for 'all')."""
+        if group == "all":
+            return None
+        groups = self._resolved_groups()
+        if group not in groups:
+            raise DeckError(f"undefined group {group!r}")
+        return groups[group]
+
+    def _compute_value(self, cid, st, idx=None):
         import jax.numpy as jnp
 
         spec = self.computes[cid]
         xu = self._unwrapped(st)
+        if spec["style"] == "com":
+            # mass-weighted unwrapped center of mass (compute_com.cpp);
+            # consumed per-component as c_ID[1..3]
+            m = np.asarray(self.system.masses)[np.asarray(st.type)]
+            sel = self._group_mask(spec["group"])
+            if sel is not None:
+                m = np.where(sel, m, 0.0)
+            com = np.asarray(
+                (jnp.asarray(m)[:, None] * xu).sum(0)) / m.sum()
+            if idx is None:
+                raise DeckError(
+                    f"compute {cid} (com) is a vector: use c_{cid}[1..3]")
+            return float(com[idx - 1])
+        if idx is not None:
+            raise DeckError(f"compute {cid} has no vector output")
+        if spec["style"] == "ke":
+            # group kinetic energy 0.5 sum m v^2 (compute_ke.cpp)
+            m = np.asarray(self.system.masses)[np.asarray(st.type)]
+            sel = self._group_mask(spec["group"])
+            if sel is not None:
+                m = np.where(sel, m, 0.0)
+            v2 = jnp.sum(st.v * st.v, axis=-1)
+            return float(0.5 * jnp.sum(jnp.asarray(m) * v2))
+        if spec["style"] == "pe":
+            # pair + bond potential at the last energy evaluation
+            # (compute_pe.cpp; extensive, like the reference's default)
+            return float(st.epair) + float(st.ebond)
         if spec["style"] == "gyration":
             com = jnp.mean(xu, axis=0)
             return float(jnp.sqrt(jnp.mean(jnp.sum((xu - com) ** 2, axis=-1))))
@@ -605,7 +653,8 @@ class DeckRunner:
         if key == "extruders":
             return int(jnp.sum(st.ex_left >= 0))
         if key.startswith("c_"):
-            return float(self._compute_value(key[2:], st))
+            cid, idx = self._parse_cref(key[2:])
+            return float(self._compute_value(cid, st, idx=idx))
         if key.startswith("f_"):
             import re as _re
 
@@ -1171,7 +1220,8 @@ class DeckRunner:
             if c in keymap:
                 cols.append(keymap[c])
                 headers.append(names[keymap[c]])
-            elif c.startswith("c_") and c[2:] in getattr(self, "computes", {}):
+            elif c.startswith("c_") and self._parse_cref(c[2:])[0] in \
+                    getattr(self, "computes", {}):
                 cols.append(c)
                 headers.append(c)
             elif m and m.group(1) in fixvec_counter:
@@ -1248,8 +1298,10 @@ class DeckRunner:
                     txt.append(f"{fv:>12.6g}")
                     continue
                 if c.startswith("c_"):
-                    txt.append(f"{self._compute_value(c[2:], st):>12.6g}"
-                               if st is not None else f"{0.0:>12.6g}")
+                    cid_, idx_ = self._parse_cref(c[2:])
+                    txt.append(
+                        f"{self._compute_value(cid_, st, idx=idx_):>12.6g}"
+                        if st is not None else f"{0.0:>12.6g}")
                     continue
                 if c.startswith("f_"):
                     m = _re.fullmatch(r"f_(\w+)\[([12])\]", c)

@@ -41,6 +41,55 @@ def _write_tiny(td):
     write_data(os.path.join(td, "data.tiny"), data)
 
 
+def test_compute_ke_pe_com(tmp_path):
+    """compute ke/pe scalars and the com 3-vector (compute_ke.cpp,
+    compute_pe.cpp, compute_com.cpp) via thermo columns + live_value."""
+    import numpy as np
+
+    td = str(tmp_path)
+    _write_tiny(td)
+    deck = """
+units lj
+atom_style bond
+special_bonds fene
+read_data data.tiny
+neighbor 0.3 bin
+bond_style hybrid
+bond_coeff 1 fene 30.0 1.5 1.0 1.0
+bond_coeff 2 harmonic 10.0 1.1
+pair_style lj/cut 1.12
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
+fix 1 all nve
+compute myke all ke
+compute mype all pe
+compute c all com
+thermo_style custom step temp c_myke c_mype c_c[1] c_c[2] c_c[3]
+thermo 10
+timestep 0.005
+run 10
+"""
+    path = os.path.join(td, "in.comp")
+    with open(path, "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(path)
+    st = r.state
+    # ke == 0.5 sum m v^2 (all masses 1 here)
+    v = np.asarray(st.v)
+    ke = r.live_value("c_myke")
+    assert abs(ke - 0.5 * float((v * v).sum())) < 1e-3 * max(ke, 1.0)
+    # pe == epair + ebond at the last energy evaluation
+    assert abs(r.live_value("c_mype")
+               - (float(st.epair) + float(st.ebond))) < 1e-6
+    # com components match the unwrapped mean (uniform mass)
+    xu = np.asarray(st.x) + np.asarray(st.img) * np.asarray(
+        r.system.box_size)
+    for i in range(3):
+        assert abs(r.live_value(f"c_c[{i + 1}]")
+                   - float(xu[:, i].mean())) < 1e-4
+
+
 def test_mass_type_wildcard(tmp_path):
     """mass accepts utils::bounds ranges: *, N*, *N, N*M (utils.cpp)."""
     import pytest
