@@ -33,11 +33,21 @@ from lammps_le_tpu.integrate import Simulation
 stage_max = int(sys.argv[1]) if len(sys.argv) > 1 else 6
 N = 1_000_000
 
+
+def hbm():
+    try:
+        ms = jax.devices()[0].memory_stats()
+        return (f"hbm={ms.get('bytes_in_use', 0) / 1e9:.2f}G"
+                f"/{ms.get('bytes_limit', 0) / 1e9:.0f}G "
+                f"peak={ms.get('peak_bytes_in_use', 0) / 1e9:.2f}G")
+    except Exception:
+        return "hbm=?"
+
 t0 = time.perf_counter()
 system, state, warm = build(N, max_ex=8192)
 state, _ = run_fast(warm, state, 30)
 print(f"stage1 warm ok step={int(jax.device_get(state.step))} "
-      f"flags={int(jax.device_get(state.flags)):#x} "
+      f"flags={int(jax.device_get(state.flags)):#x} {hbm()} "
       f"{time.perf_counter() - t0:.0f}s", flush=True)
 
 n_ex0 = 5000
@@ -74,6 +84,6 @@ for k, (name, fixes) in enumerate(stages, start=3):
           f"flags={int(jax.device_get(state.flags)):#x} "
           f"ex={int(jax.device_get(jnp.sum(state.ex_left >= 0)))} "
           f"moves={int(jax.device_get(state.n_moves))} "
-          f"loads={int(jax.device_get(state.n_loads))} "
+          f"loads={int(jax.device_get(state.n_loads))} {hbm()} "
           f"{time.perf_counter() - t0:.0f}s", flush=True)
 print("ALL STAGES OK", flush=True)
