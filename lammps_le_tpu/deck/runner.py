@@ -557,13 +557,25 @@ class DeckRunner:
             # (compute_pe.cpp; extensive, like the reference's default)
             return float(st.epair) + float(st.ebond)
         if spec["style"] == "gyration":
-            com = jnp.mean(xu, axis=0)
-            return float(jnp.sqrt(jnp.mean(jnp.sum((xu - com) ** 2, axis=-1))))
+            # mass-weighted about the group COM (compute_gyration.cpp:60)
+            m = np.asarray(self.system.masses)[np.asarray(st.type)]
+            sel = self._group_mask(spec["group"])
+            if sel is not None:
+                m = np.where(sel, m, 0.0)
+            w = jnp.asarray(m / m.sum())[:, None]
+            com = jnp.sum(w * xu, axis=0)
+            return float(jnp.sqrt(
+                jnp.sum(w * (xu - com) ** 2)))
         if spec["style"] == "msd":
             if spec["x0"] is None:
                 spec["x0"] = xu
             d = xu - spec["x0"]
-            return float(jnp.mean(jnp.sum(d * d, axis=-1)))
+            d2 = jnp.sum(d * d, axis=-1)
+            sel = self._group_mask(spec["group"])
+            if sel is not None:
+                return float(jnp.sum(jnp.where(jnp.asarray(sel), d2, 0.0))
+                             / max(int(np.sum(sel)), 1))
+            return float(jnp.mean(d2))
         if spec["style"] == "temp":
             from ..integrate.verlet import thermo_row
 

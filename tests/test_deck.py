@@ -64,6 +64,8 @@ fix 1 all nve
 compute myke all ke
 compute mype all pe
 compute c all com
+group t1 type 1
+compute rg1 t1 gyration
 thermo_style custom step temp c_myke c_mype c_c[1] c_c[2] c_c[3]
 thermo 10
 timestep 0.005
@@ -88,6 +90,11 @@ run 10
     for i in range(3):
         assert abs(r.live_value(f"c_c[{i + 1}]")
                    - float(xu[:, i].mean())) < 1e-4
+    # group-restricted gyration (mass-weighted == unweighted here)
+    sel = np.asarray(st.type) == 0
+    com1 = xu[sel].mean(0)
+    rg_np = float(np.sqrt(((xu[sel] - com1) ** 2).sum(-1).mean()))
+    assert abs(r.live_value("c_rg1") - rg_np) < 1e-4
 
 
 def test_mass_type_wildcard(tmp_path):
