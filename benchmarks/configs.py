@@ -283,10 +283,13 @@ def config6(quick=False):
 
     n_beads = 1_000_000
     steps = 100 if quick else 600
-    # cap 9 is the blocked kernel's hardware-calibrated geometry (cap 8
-    # spills ~2.1x more VMEM per lane — blocked_kernel._BYTES_PER_LANE)
+    # cap 9 + skin 0.5 is the blocked kernel's hardware-proven 1M
+    # geometry (probe_blocked --bench): cap 8 spills ~2.1x more VMEM per
+    # lane (blocked_kernel._BYTES_PER_LANE) and the skin-0.30 cap-9 grid
+    # (67x83x83) crashed the TPU worker in BOTH stencil paths
+    # (PERF_NOTES §config-6 r4)
     system, data = _chain_system(
-        1, n_beads, rebuild_every=4, skin=0.30,
+        1, n_beads, rebuild_every=40, skin=0.5,
         max_extruders=8192, cell_cap=9,
     )
     nb = system.neighbor
@@ -327,8 +330,18 @@ def config6(quick=False):
     state = state.replace(flags=jnp.zeros((), jnp.uint32))
     state, _ = run_fast(sim, state, 20)  # compile + warm
     t0 = time.perf_counter()
-    state, _ = run_fast(sim, state, steps)
-    jax.device_get(state.step)
+    # 100-step launches with a hard sync + progress line between them:
+    # localizes worker faults to a window and bounds single-launch
+    # device time (the 600-step single launch died 3x on hardware
+    # 2026-08-19 — PERF_NOTES §config-6 crashes)
+    done = 0
+    while done < steps:
+        chunk = min(100, steps - done)
+        state, _ = run_fast(sim, state, chunk)
+        jax.device_get(state.step)
+        done += chunk
+        log(f"  ..step {int(state.step)} flags={int(state.flags):#x} "
+            f"{time.perf_counter() - t0:.0f}s")
     wall = time.perf_counter() - t0
     # headroom: live device bytes vs chip HBM
     mem = {}
