@@ -50,6 +50,26 @@ def _make_case(n=600, seed=3):
     return system, fs
 
 
+def test_pick_cl_per_cap_envelope():
+    """pick_cl sizes chunks from MEASURED per-cap VMEM coefficients
+    (cap-8 spills ~2.1x/lane more than cap-9, hardware 2026-08-19);
+    uncalibrated caps extrapolate from the worst point."""
+    from lammps_le_tpu.fast.blocked_kernel import (_BYTES_PER_LANE,
+                                                   _VMEM_BUDGET, pick_cl)
+
+    for cap in (7, 8, 9, 10, 12):
+        M = 5952
+        cl = pick_cl(10_000_000, M, cap)
+        assert cl % 128 == 0 and cl >= 1024
+        bpl = _BYTES_PER_LANE.get(cap, 3610.0 / 8.0 * cap)
+        # the picked window (cl + 2M) stays within the budget envelope
+        assert (cl + 2 * M) * bpl <= _VMEM_BUDGET + 128 * bpl
+    # cap 8 must pick a smaller chunk than cap 9 (worse spill density)
+    assert pick_cl(10_000_000, 5952, 8) < pick_cl(10_000_000, 5952, 9)
+    # small grids: chunk never exceeds the (128-aligned) grid itself
+    assert pick_cl(4096, 256, 9) == 4096
+
+
 @pytest.mark.parametrize("cl_mode", ["nb1", "even", "partial"])
 def test_blocked_kernel_matches_xla_interpret(cl_mode):
     from lammps_le_tpu.fast.blocked_kernel import make_blocked_kernel
