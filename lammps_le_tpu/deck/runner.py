@@ -419,6 +419,18 @@ class DeckRunner:
     def cmd_thermo_style(self, args):
         self.thermo_columns = args[1:] if args and args[0] == "custom" else args
 
+    def cmd_thermo_modify(self, args):
+        """thermo_modify norm yes|no — per-atom normalization of extensive
+        quantities (src/thermo.cpp modify_params; lj units default yes)."""
+        it = iter(args)
+        for k in it:
+            if k == "norm":
+                self.thermo_norm = next(it) == "yes"
+            elif k in ("lost", "flush"):
+                next(it)  # accepted, no-op in this engine
+            else:
+                raise DeckError(f"unsupported thermo_modify option {k!r}")
+
     def cmd_compute(self, args):
         """compute ID group style — gyration and msd diagnostics
         (reference: src/compute_gyration.cpp, src/compute_msd.cpp)."""
@@ -686,7 +698,8 @@ class DeckRunner:
                 return int(getattr(st, counter))
             idx = {"n_moves": 0, "n_loads": 1, "n_unloads": 2}[counter]
             return int(st.last_event[idx])
-        norm = 1.0 / n if self.units == "lj" else 1.0
+        norm = 1.0 / n if getattr(self, "thermo_norm",
+                                  self.units == "lj") else 1.0
         if key == "press":
             from ..observe.pressure import make_pressure_fn
 
@@ -1270,7 +1283,8 @@ class DeckRunner:
 
         # lj units normalize extensive thermo per atom (LAMMPS thermo_modify
         # norm default, reference: src/thermo.cpp lj-units convention)
-        norm = 1.0 / self.system.n if self.units == "lj" else 1.0
+        norm = 1.0 / self.system.n if getattr(
+            self, "thermo_norm", self.units == "lj") else 1.0
         extensive = {"epair", "ebond", "etotal", "ke"}
 
         vol = float(np.prod(np.asarray(self.system.box_size)))

@@ -97,6 +97,31 @@ run 10
     assert abs(r.live_value("c_rg1") - rg_np) < 1e-4
 
 
+def test_thermo_modify_norm(tmp_path):
+    """thermo_modify norm no reports extensive values (thermo.cpp
+    modify_params; lj-units default is per-atom normalization)."""
+    td = str(tmp_path)
+    _write_tiny(td)
+    deck = ("units lj\natom_style bond\nspecial_bonds fene\n"
+            "read_data data.tiny\nneighbor 0.3 bin\nbond_style hybrid\n"
+            "bond_coeff 1 fene 30.0 1.5 1.0 1.0\n"
+            "bond_coeff 2 harmonic 10.0 1.1\n"
+            "pair_style lj/cut 1.12\npair_coeff * * 1.0 1.0 1.12\n"
+            "velocity all create 1.0 87287\nfix 1 all nve\n"
+            "timestep 0.005\nrun 2\n")
+    path = os.path.join(td, "in.norm")
+    with open(path, "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(path)
+    e_per_atom = r.live_value("epair")
+    r.command("thermo_modify", ["norm", "no"])
+    e_ext = r.live_value("epair")
+    assert abs(e_ext - e_per_atom * 300) < 1e-3 * max(abs(e_ext), 1.0)
+    r.command("thermo_modify", ["norm", "yes"])
+    assert abs(r.live_value("epair") - e_per_atom) < 1e-9
+
+
 def test_mass_type_wildcard(tmp_path):
     """mass accepts utils::bounds ranges: *, N*, *N, N*M (utils.cpp)."""
     import pytest
