@@ -494,6 +494,38 @@ class DeckRunner:
                                   "nbins": nbins, "rmax": rmax,
                                   "fn": None}
             return
+        if style in ("ke/atom", "pe/atom", "stress/atom", "displace/atom",
+                     "coord/atom"):
+            # per-atom computes (src/compute_ke_atom.cpp, compute_pe_atom
+            # .cpp, compute_stress_atom.cpp, compute_displace_atom.cpp,
+            # compute_coord_atom.cpp): consumed by dump custom c_ID[n]
+            # columns and compute reduce inputs.  The pair/bond tallies
+            # run as on-demand jitted grid passes (observe/peratom.py) —
+            # the hot loop carries no per-atom tally cost.
+            spec = {"style": style, "group": group, "fn": None, "x0": None}
+            rest = list(args[3:])
+            if style == "pe/atom":
+                # optional term selection: pe/atom [pair] [bond]
+                terms = [a for a in rest if a in ("pair", "bond")]
+                spec["pair"] = not terms or "pair" in terms
+                spec["bond"] = not terms or "bond" in terms
+            elif style == "stress/atom":
+                # stress/atom temp-ID|NULL [ke|pair|bond|virial]*
+                if rest:
+                    rest.pop(0)  # temp-ID / NULL: bias temps unsupported
+                terms = [a for a in rest if a in ("ke", "pair", "bond",
+                                                  "virial")]
+                spec["ke"] = not terms or "ke" in terms
+            elif style == "coord/atom":
+                if not rest or rest[0] == "cutoff":
+                    if len(rest) < 2:
+                        raise DeckError(
+                            "compute coord/atom: cutoff R required")
+                    spec["cutoff"] = float(rest[1])
+                else:
+                    spec["cutoff"] = float(rest[0])
+            self.computes[cid] = spec
+            return
         if style not in ("gyration", "msd", "temp", "pressure", "ke",
                          "pe", "com"):
             raise DeckError(f"unsupported compute style {style}")
@@ -535,6 +567,61 @@ class DeckRunner:
         if group not in groups:
             raise DeckError(f"undefined group {group!r}")
         return groups[group]
+
+    _PERATOM_STYLES = ("ke/atom", "pe/atom", "stress/atom",
+                       "displace/atom", "coord/atom")
+
+    def _peratom_value(self, cid, st):
+        """Evaluate a per-atom compute -> (n,) or (n, k) numpy array.
+
+        Atoms outside the compute's group report 0 (the reference's
+        convention for per-atom computes, e.g. compute_ke_atom.cpp:70-75).
+        """
+        spec = self.computes[cid]
+        style = spec["style"]
+        if style == "ke/atom":
+            m = np.asarray(self.system.masses)[np.asarray(st.type)]
+            v = np.asarray(st.v)
+            out = 0.5 * m * np.sum(v * v, axis=-1)
+        elif style == "displace/atom":
+            # dx dy dz |d| since first evaluation (compute_displace_atom
+            # .cpp stores the unwrapped reference coordinates)
+            xu = np.asarray(self._unwrapped(st))
+            if spec["x0"] is None:
+                spec["x0"] = xu
+            d = xu - spec["x0"]
+            out = np.column_stack(
+                [d, np.sqrt(np.sum(d * d, axis=-1))])
+        elif style == "coord/atom":
+            from ..observe.peratom import make_coord_atom_fn
+
+            if spec["fn"] is None:
+                spec["fn"] = make_coord_atom_fn(self.system,
+                                                spec["cutoff"])
+            out = np.asarray(spec["fn"](st))
+        elif style == "pe/atom":
+            from ..observe.peratom import make_peratom_pe_fn
+
+            if spec["fn"] is None:
+                spec["fn"] = make_peratom_pe_fn(
+                    self.system, ex_btype=self._ex_btype(),
+                    pair=spec["pair"], bond=spec["bond"])
+            out = np.asarray(spec["fn"](st))
+        elif style == "stress/atom":
+            from ..observe.peratom import make_stress_atom_fn
+
+            if spec["fn"] is None:
+                spec["fn"] = make_stress_atom_fn(
+                    self.system, ex_btype=self._ex_btype(),
+                    ke=spec["ke"])
+            out = np.asarray(spec["fn"](st))
+        else:
+            raise DeckError(f"compute {cid} is not per-atom")
+        sel = self._group_mask(spec["group"])
+        if sel is not None:
+            out = np.where(np.asarray(sel)[(...,) + (None,) * (out.ndim - 1)],
+                           out, 0.0)
+        return out
 
     def _compute_value(self, cid, st, idx=None):
         import jax.numpy as jnp
@@ -605,6 +692,16 @@ class DeckRunner:
                         f"compute reduce: {inp} is not an atom variable")
                 vals = self.atom_vars[name].evaluate(
                     st, self.system, self.atom_var_scalars, self.atom_vars)
+            elif inp.startswith("c_"):
+                rcid, ridx = self._parse_cref(inp[2:])
+                if rcid not in getattr(self, "computes", {}) or \
+                        self.computes[rcid]["style"] not in \
+                        self._PERATOM_STYLES:
+                    raise DeckError(
+                        f"compute reduce: {inp} is not a per-atom compute")
+                vals = self._peratom_value(rcid, st)
+                if vals.ndim == 2:
+                    vals = vals[:, (ridx or 1) - 1]
             elif inp in ATOM_NAMES:
                 vals = ATOM_NAMES[inp](st, self.system)
             else:
@@ -756,9 +853,28 @@ class DeckRunner:
                 local_cols.append(cols[k])
         atom_cols = None
         if style in ("atom", "custom"):
-            # v_name columns resolve against atom-style variables
-            # (src/dump_custom.cpp parse_fields, the v_ case)
+            # v_name columns resolve against atom-style variables,
+            # c_ID[n] columns against per-atom computes
+            # (src/dump_custom.cpp parse_fields, the v_/c_ cases)
+            runner = self
             for fld in fields:
+                if fld.startswith("c_"):
+                    ccid, cidx = self._parse_cref(fld[2:])
+                    spec = getattr(self, "computes", {}).get(ccid)
+                    if spec is None or spec["style"] not in \
+                            self._PERATOM_STYLES:
+                        raise DeckError(f"dump field {fld!r} references "
+                                        "no per-atom compute")
+
+                    def ccol(st, sy, ccid=ccid, cidx=cidx):
+                        vals = runner._peratom_value(ccid, st)
+                        if vals.ndim == 2:
+                            vals = vals[:, (cidx or 1) - 1]
+                        return vals
+
+                    atom_cols = atom_cols or {}
+                    atom_cols[fld] = ccol
+                    continue
                 if not fld.startswith("v_"):
                     continue
                 name = fld[2:]
@@ -766,7 +882,6 @@ class DeckRunner:
                     raise DeckError(f"dump field {fld!r} references no "
                                     "atom-style variable")
                 expr = self.atom_vars[name]
-                runner = self
 
                 def col(st, sy, expr=expr):
                     return expr.evaluate(st, sy, runner.atom_var_scalars,

@@ -140,8 +140,11 @@ def write_frame(spec: DumpSpec, state, system):
                 cols[fld] = v[:, "xyz".index(fld[1])]
             elif fld in ("ix", "iy", "iz"):
                 cols[fld] = img[:, "xyz".index(fld[1])]
-            elif fld.startswith("v_") and spec.atom_cols \
+            elif fld.startswith(("v_", "c_")) and spec.atom_cols \
                     and fld in spec.atom_cols:
+                # atom-style variables / per-atom computes, resolved by
+                # the deck at dump-definition time (dump_custom.cpp
+                # parse_fields v_/c_ cases)
                 cols[fld] = spec.atom_cols[fld](state, system)
             else:
                 raise ValueError(f"unsupported dump field {fld}")
