@@ -401,7 +401,43 @@ def _ex_epad(system):
     return -(-max(system.max_extruders, 1) // EX_BLOCK) * EX_BLOCK
 
 
-def _ex_block_table(exl_slot, exr_slot, ex_left, capP, P, cap, epad):
+def _near_spring_mask(system, ex_btype, maps, exl_slot, exr_slot,
+                      ex_left, ex_right):
+    """Per-spring bool: this spring's anchors sit in stencil-adjacent
+    rebuild cells, so the fused kernel's near-spring term covers it and
+    it must be DROPPED from the block table (pallas_step near_ex — the
+    kernel decision comes from the same near_springs_enabled()).
+    Returns None when the near split is off.  Backbone-adjacent anchor
+    pairs are kept in the table: the kernel's sp mask excludes bonded
+    pairs to keep the shared-reciprocal masks disjoint.
+
+    Visibility == padded-cell adjacency modulo the interior period —
+    exact for the whole launch because grid cells are frozen between
+    rebuilds, and every retable/rebuild recomputes this mask."""
+    from .pallas_step import near_springs_enabled
+
+    if not near_springs_enabled(system, ex_btype):
+        return None
+    nx, ny, nz = maps.nxyz
+    py, pz = ny + 2, nz + 2
+    P = maps.P
+
+    def coords(s):
+        col = s % P
+        return (col // (py * pz) - 1, (col // pz) % py - 1, col % pz - 1)
+
+    def adj(a, b, nd):
+        d = jnp.abs(a - b)
+        return (d <= 1) | (d == nd - 1)
+
+    la, rb = coords(exl_slot), coords(exr_slot)
+    near = (adj(la[0], rb[0], nx) & adj(la[1], rb[1], ny)
+            & adj(la[2], rb[2], nz))
+    return near & (jnp.abs(ex_left - ex_right) != 1)
+
+
+def _ex_block_table(exl_slot, exr_slot, ex_left, capP, P, cap, epad,
+                    near_mask=None):
     """(tab, tabT, nblk, fallback) for the kernel's block spring pass.
 
     v3 stacked-anchor layout: ``tab`` is (2*epad, 8) int32 rows
@@ -428,6 +464,10 @@ def _ex_block_table(exl_slot, exr_slot, ex_left, capP, P, cap, epad):
     in_grid = (exl_slot < capP) & (exr_slot < capP)
     fallback = jnp.any(act & ~in_grid)
     ok = act & in_grid
+    if near_mask is not None:
+        # near springs ride the fused stencil (pallas_step near_ex);
+        # the table carries only the stencil-invisible remainder
+        ok = ok & ~near_mask
     e = ok.shape[0]
     idx = jnp.where(ok, size=e, fill_value=0)[0]
     nok = jnp.sum(ok.astype(jnp.int32))
@@ -865,7 +905,9 @@ def to_fast(state: State, sim, groups=None) -> FastState:
         e_b = e_b + eb2
     tab, tabT, nblk, ex_fb = _ex_block_table(
         exl, exr, state.ex_left, maps.cap * maps.P, maps.P, maps.cap,
-        _ex_epad(system))
+        _ex_epad(system),
+        near_mask=_near_spring_mask(system, sim.ex_btype, maps, exl, exr,
+                                    state.ex_left, state.ex_right))
     return FastState(
         gx=gx, gv=gv, gf=gf, gx_ref=gx, bid=bid, hn=hn, pid=pid,
         slot_of=slot_of, exl_slot=exl, exr_slot=exr,
@@ -1119,7 +1161,9 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         pid = pid[:, jnp.asarray(maps.src_cols)]
         exl, exr = _ex_slots(fs.slot_of, l, r)
         tab, tabT, nblk, ex_fb = _ex_block_table(
-            exl, exr, l, capP, maps.P, maps.cap, _ex_epad(system))
+            exl, exr, l, capP, maps.P, maps.cap, _ex_epad(system),
+            near_mask=_near_spring_mask(system, sim.ex_btype, maps,
+                                        exl, exr, l, r))
         return fs.replace(
             ex_left=l, ex_right=r, types=types, pid=pid,
             exl_slot=exl, exr_slot=exr,
@@ -1134,7 +1178,10 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         )
         tab, tabT, nblk, ex_fb = _ex_block_table(
             exl, exr, fs.ex_left, capP, maps.P, maps.cap,
-            _ex_epad(system))
+            _ex_epad(system),
+            near_mask=_near_spring_mask(system, sim.ex_btype, maps,
+                                        exl, exr, fs.ex_left,
+                                        fs.ex_right))
         extra = {}
         if fs.lgm is not None:
             # re-place the Langevin-group plane: membership is per BEAD
@@ -1490,7 +1537,12 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
                     ex_tab=fs.ex_tab if sim.ex_btype > 0 else None,
                     ex_tabT=fs.ex_tabT if sim.ex_btype > 0 else None,
                     ex_nblk=fs.ex_nblk if sim.ex_btype > 0 else None,
-                    lgm=fs.lgm)
+                    lgm=fs.lgm,
+                    # near-spring stencil term: off on the exf-fallback
+                    # launch (the XLA planes then carry ALL springs)
+                    ex_inkernel=jnp.where(
+                        fs.ex_fb, 0, 1).astype(jnp.int32)
+                    if sim.ex_btype > 0 else None)
                 d = stats[7, 0].astype(jnp.int32)
                 clamps = (0.5 * stats[3, 0]).astype(jnp.int32)
                 fl = jnp.where(

@@ -112,6 +112,29 @@ EX_BLOCK = int(os.environ.get("LLE_EX_BLOCK", "32"))
 APPROX_RCP = os.environ.get("LLE_APPROX_RCP", "1") == "1"
 
 
+def near_springs_enabled(system: System, ex_btype: int) -> bool:
+    """Single source of truth for the near-spring stencil split — the
+    kernel (make_step_kernel) and the table builder
+    (engine._ex_block_table callers) must agree EXACTLY, else springs
+    are dropped or double-counted.  Requires: the feature flag, a
+    harmonic extruder bond style (FENE extruder bonds keep the block
+    pass), and >= 3 interior cells per axis (below that a cell can see
+    the same cell through two halo aliases and the visibility argument
+    breaks)."""
+    if os.environ.get("LLE_NEAR_SPRINGS", "0") != "1":
+        return False
+    if ex_btype <= 0 or system.bonds is None:
+        return False
+    from ..system import BOND_HARMONIC as _BH
+
+    if int(np.asarray(system.bonds.style)[ex_btype - 1]) != _BH:
+        return False
+    if float(np.asarray(system.bonds.coeffs)[ex_btype - 1][0]) == 0.0:
+        return False
+    nb = system.neighbor
+    return min(nb.nx, nb.ny, nb.nz) >= 3
+
+
 def _threefry2x32(k0, k1, c0, c1):
     """threefry2x32 (Salmon et al. 2011), 20 rounds — must stay bit-exact
     with engine._threefry2x32 so XLA/Pallas trajectories interleave."""
@@ -208,20 +231,33 @@ class StencilConsts:
 
 
 def make_offset_loop(C: StencilConsts, cap: int, PW: int, NOFF: int,
-                     energy: bool, interpret: bool):
+                     energy: bool, interpret: bool, near_ex=None):
     """Build the Newton-half offset fori-loop over (cap, PW) planes.
 
     Returns ``run(d_ref, ox_ref, bid, u1, pid_ref, valid, facc_ref,
-    sacc_ref)`` accumulating LJ+FENE forces into ``facc_ref`` (3, cap,
-    PW) and [e_lj, e_b, nb_found, n_clamp] rows into ``sacc_ref``
-    (4, PW).  ``pid_ref`` is the partner-id REF (loaded per offset —
-    see the register-pressure note in the offset body).
+    sacc_ref, sp_on)`` accumulating LJ+FENE forces into ``facc_ref``
+    (3, cap, PW) and [e_lj, e_b, nb_found, n_clamp] rows into
+    ``sacc_ref`` (4, PW).  ``pid_ref`` is the partner-id REF (loaded per
+    offset — see the register-pressure note in the offset body).
     ``d_ref`` holds 2*NOFF roll shifts (forward, reaction);
     ``ox_ref`` is indexable [c] -> (cap, PW) post-halo positions; ``u1``
     is the chain-code plane (bid+1 where has-next else sentinel).  The
     window width PW is the caller's: the whole padded grid for the fused
     kernel, one 3-layer slab window for the blocked/sharded kernels
     (their margins guarantee every in-range j-column exists locally).
+
+    ``near_ex``: (khe2, khr0, khe, r0he) harmonic extruder-spring
+    constants, or None.  When set, stencil-VISIBLE extruder pairs
+    (``BJ == pi`` — the same partner plane the LJ exclusion reads, valid
+    because occupancy-stall keeps <=1 anchor per bead) get the harmonic
+    bond force fused into the pair chain: fbond/r = -2k(r-r0)/r =
+    khr0*rinv - khe2 with rinv = sqrt(r2) off the SHARED reciprocal
+    (bond_harmonic.cpp:48).  The engine then keeps only stencil-INVISIBLE
+    springs in the block table (engine._ex_block_table near split) —
+    visibility == rebuild-cell adjacency, exact for the whole launch
+    because the grid-resident cells are frozen between rebuilds.
+    ``sp_on`` (f32 0/1) gates the term at run time: the exf-fallback
+    launch covers ALL springs via XLA planes and must suppress it.
     """
     if APPROX_RCP and not interpret:
         def _rcp(x):
@@ -236,9 +272,14 @@ def make_offset_loop(C: StencilConsts, cap: int, PW: int, NOFF: int,
     sigf, epsf = C.sigf, C.epsf
     wca_cutsq, wca_floorsq = C.wca_cutsq, C.wca_floorsq
     bond_reach_sq, wca_is_lj = C.bond_reach_sq, C.wca_is_lj
+    if near_ex is not None:
+        khe2, khr0, khe_c, r0he_c = near_ex
     P = PW
 
-    def run(d_ref, ox_ref, bid, u1, pid_ref, valid, facc_ref, sacc_ref):
+    def run(d_ref, ox_ref, bid, u1, pid_ref, valid, facc_ref, sacc_ref,
+            sp_on=None):
+        if near_ex is not None and sp_on is None:
+            sp_on = jnp.ones((), jnp.float32)
         def offset_body(o, carry):
             # pid loads PER OFFSET (matching the r3 kernel): hoisting it
             # out of the fori made the value live across the whole loop
@@ -288,12 +329,21 @@ def make_offset_loop(C: StencilConsts, cap: int, PW: int, NOFF: int,
                     in_reach = rsq < bond_reach_sq
                     w_b_m = bonded & in_reach
                 lj_ok = (in_cut & nz_pair) & (~bonded) & (BJ != pi)
+                if near_ex is not None:
+                    # stencil-visible extruder spring (pid is symmetric;
+                    # pi >= 0 rejects empty-slot sentinels, ~bonded keeps
+                    # the denominator masks disjoint — backbone-adjacent
+                    # springs stay in the block table by construction)
+                    sp = (BJ == pi) & (pi >= 0) & (~bonded)
                 if wca_is_lj:
                     # merged Kremer-Grest path: one force-factor
                     # polynomial under the (LJ | bonded-WCA) mask
                     pair_ok = lj_ok | (w_b_m & (rsq < wca_cutsq))
                     rsq_den = jnp.maximum(
                         jnp.where(pair_ok, rsq, 1.0), floorsq)
+                    if near_ex is not None:
+                        rsq_den = jnp.where(
+                            sp, jnp.maximum(rsq, 1e-12), rsq_den)
                     w12 = jnp.where(pair_ok, w_i, 0.0)
                     r2 = _rcp(rsq_den)
                     r6 = r2 * r2 * r2
@@ -308,9 +358,23 @@ def make_offset_loop(C: StencilConsts, cap: int, PW: int, NOFF: int,
                             jnp.where(in_cut & nz_pair, rsq, 1.0),
                             floorsq),
                     )
+                    if near_ex is not None:
+                        rsq_den = jnp.where(
+                            sp, jnp.maximum(rsq, 1e-12), rsq_den)
                     r2 = _rcp(rsq_den)
                     r6 = r2 * r2 * r2
                     ffac = r6 * (lj1 * r6 - lj2) * r2 * w12
+                if near_ex is not None:
+                    # harmonic spring off the shared reciprocal:
+                    # fbond/r = -2k + 2k*r0/r (bond_harmonic.cpp:48)
+                    w_sp = jnp.where(sp, w_i * sp_on, 0.0)
+                    rinv = jnp.sqrt(r2)
+                    ffac = ffac + (khr0 * rinv - khe2) * w_sp
+                    if energy:
+                        drs = rsq_den * rinv - r0he_c
+                        sacc_ref[1:2, :] += wgt * jnp.sum(
+                            w_sp * (khe_c * drs * drs),
+                            axis=0, keepdims=True)
                 if energy:
                     w_lj = (jnp.where(lj_ok, w_i, 0.0)
                             if wca_is_lj else w12)
@@ -508,6 +572,12 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     else:
         ex_harmonic = True
         khe = r0he = epshe = sighe = 0.0
+    # near-spring stencil fusion: harmonic springs between beads whose
+    # rebuild cells are stencil-adjacent ride the pair chain; only the
+    # stencil-INVISIBLE remainder goes through the block pass.  The
+    # engine's table builder makes the SAME decision through
+    # near_springs_enabled() so coverage is exactly complementary.
+    near_split = near_springs_enabled(system, ex_btype)
 
     units = system.units
     mass = float(np.asarray(system.masses).flat[0])
@@ -557,7 +627,10 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     NOFF = len(half_offsets)
     aux_np, halo_shifts, box = make_halo_consts(system, maps)
     has_ex = ex_btype > 0
-    run_offsets = make_offset_loop(C, cap, P, NOFF, energy, interpret)
+    run_offsets = make_offset_loop(
+        C, cap, P, NOFF, energy, interpret,
+        near_ex=((2.0 * khe, 2.0 * khe * r0he, khe, r0he)
+                 if near_split else None))
 
     def kernel(d_ref, meta_ref, key_ref, sc_ref,
                tab_ref, tabT_ref, gx_ref_in, gv_ref, gf_ref, exf_ref,
@@ -586,6 +659,10 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         # one step)
         limit = meta_ref[3]
         ex_nblk = meta_ref[4]
+        # meta[2]: near-spring stencil term enabled this launch (0 on the
+        # exf-fallback launch, where the XLA planes carry ALL springs)
+        sp_on = ((meta_ref[2] > 0).astype(jnp.float32)
+                 if near_split else None)
         # per-Simulation scalars (SMEM): geometry stays the compile key
         sc_dt = sc_ref[0]
         sc_kick = sc_ref[1]
@@ -654,7 +731,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             sacc_ref[...] = jnp.zeros((4, P), jnp.float32)
             # (shared Newton-half offset loop — make_offset_loop)
             run_offsets(d_ref, ox_ref, bid, u1, pid_ref, valid,
-                        facc_ref, sacc_ref)
+                        facc_ref, sacc_ref, sp_on=sp_on)
 
             # ---- reverse comm: fold ghost-accumulated reactions back
             # onto their owner columns, reversing the refresh order
@@ -886,7 +963,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         round(sighe, 12), bool(ex_harmonic),
         round(float(system.neighbor.skin), 12),
         energy, lan is not None, lan_zero, lan_group, has_ex, interpret,
-        APPROX_RCP,
+        APPROX_RCP, near_split,
     )
     grid_call = _CALL_CACHE.get(cache_key)
     if grid_call is None:
@@ -920,7 +997,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     def call(gx, gv, gf, exf, gxref, bid, hn, pid,
              sstep, do_drift, key_words, t_target,
              t_slope=None, limit=None, ex_tab=None,
-             ex_tabT=None, ex_nblk=None, lgm=None):
+             ex_tabT=None, ex_nblk=None, lgm=None, ex_inkernel=None):
         """key_words: (2,) uint32 RUN-constant PRNG words (the langevin
         key folded WITHOUT the step — engine step_pallas).
 
@@ -944,8 +1021,12 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             ex_tabT = jnp.zeros((NBLK * 8, 2 * EX_BLOCK), jnp.int32)
         if ex_nblk is None:
             ex_nblk = jnp.zeros((), jnp.int32)
+        if ex_inkernel is None:
+            # default: near-spring stencil term on whenever compiled in
+            # (the engine passes 0 on the exf-fallback launch)
+            ex_inkernel = jnp.ones((), jnp.int32)
         meta = jnp.stack([sstep, do_drift.astype(jnp.int32),
-                          jnp.zeros((), jnp.int32),  # reserved (was ex_inkernel)
+                          ex_inkernel.astype(jnp.int32),
                           limit.astype(jnp.int32),
                           ex_nblk.astype(jnp.int32)])
         keyw = jnp.stack([

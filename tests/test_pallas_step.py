@@ -275,3 +275,95 @@ def test_quiet_window_launch_segmentation(melt32):
     # amortization: quiet windows must batch multiple steps per launch
     assert int(fp.n_launches) < n, int(fp.n_launches)
     assert abs(float(fx.epair) - float(fp.epair)) < 0.1
+
+
+def test_near_spring_stencil_parity(melt32, monkeypatch):
+    """LLE_NEAR_SPRINGS=1: harmonic extruder springs whose anchors sit in
+    stencil-adjacent rebuild cells ride the fused pair chain
+    (pallas_step near_ex) while the block table keeps only the
+    stencil-invisible remainder — the SPLIT must be invisible to
+    physics: forces, energies, trajectories, events all match the XLA
+    chain (which always computes every spring via ex_force_planes)."""
+    monkeypatch.setenv("LLE_NEAR_SPRINGS", "1")
+    system, state = melt32
+    from lammps_le_tpu.fast.pallas_step import near_springs_enabled
+
+    assert near_springs_enabled(system, 2)
+
+    # settle so springs relax toward r0 (anchors land in adjacent cells)
+    sim_settle = Simulation(
+        system=system, dt=0.004,
+        fixes=(NVE(), Langevin(1.0, 1.0, 2.0, seed=6)), ex_btype=2)
+    state2, _ = run_general(sim_settle, state, 120)
+    state2 = state2.replace(flags=jnp.zeros((), jnp.uint32))
+
+    # quiet sim: near springs stay near -> the whole table empties and
+    # the stencil term carries ALL spring force
+    sim = Simulation(
+        system=system, dt=0.005, energy_every=1,
+        fixes=(NVE(), Langevin(1.0, 1.0, 10.0, seed=904297)),
+        ex_btype=2)
+    fs0 = to_fast(state2, sim)
+    n_springs = int(jnp.sum(fs0.ex_left >= 0))
+    assert n_springs > 0
+    assert int(fs0.ex_nblk) == 0, (
+        "settled springs should all be stencil-visible (block table empty)")
+
+    fx = _run_core(sim, state2, 6, pallas=False)
+    fp = _run_core(sim, state2, 6, pallas="interpret")
+    scale = float(jnp.max(jnp.abs(fx.gf)))
+    assert float(jnp.max(jnp.abs(fp.gf - fx.gf))) < 1e-4 * max(scale, 1.0)
+    assert float(jnp.max(jnp.abs(fp.gx - fx.gx))) < 1e-5
+    assert abs(float(fp.ebond) - float(fx.ebond)) < 5e-2
+    assert int(fp.flags) == int(fx.flags) == 0
+
+    # full LE machinery across events/rebuilds: extrusion stretches
+    # springs across cells, ex_load creates new near ones — the
+    # near/far partition is refreshed at every retable/rebuild
+    sim_le = _le_sim(system, energy_every=4)
+    n = 20
+    fx = _run_core(sim_le, state2, n, pallas=False)
+    fp = _run_core(sim_le, state2, n, pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(fx.ex_left),
+                                  np.asarray(fp.ex_left))
+    assert int(fx.n_moves) == int(fp.n_moves)
+    assert int(fx.n_loads) == int(fp.n_loads)
+    assert int(fx.n_unloads) == int(fp.n_unloads)
+    sx = from_fast(fx, system)
+    sp = from_fast(fp, system)
+    assert float(jnp.max(jnp.abs(sx.x - sp.x))) < 1e-3
+    assert int(fx.flags) == int(fp.flags)
+    assert abs(float(fx.ebond) - float(fp.ebond)) < 0.1
+
+
+def test_near_spring_table_partition(melt32, monkeypatch):
+    """The near/far table split is exactly complementary: far springs
+    (anchors in non-adjacent cells) stay in the block table; near ones
+    are dropped; backbone-adjacent anchor pairs always stay."""
+    monkeypatch.setenv("LLE_NEAR_SPRINGS", "1")
+    system, state = melt32
+    from lammps_le_tpu.fast.engine import _near_spring_mask, fast_maps
+
+    sim = Simulation(
+        system=system, dt=0.005,
+        fixes=(NVE(), Langevin(1.0, 1.0, 10.0, seed=904297)),
+        ex_btype=2)
+    # one deliberately FAR spring: beads at opposite ends of the chain
+    left = np.asarray(state.ex_left).copy()
+    right = np.asarray(state.ex_right).copy()
+    left[6], right[6] = 3, 400          # far apart in the serpentine
+    left[7], right[7] = 10, 11          # backbone-adjacent pair
+    state = state.replace(ex_left=jnp.asarray(left),
+                          ex_right=jnp.asarray(right))
+    fs = to_fast(state, sim)
+    maps = fast_maps(system)
+    near = _near_spring_mask(system, 2, maps, fs.exl_slot, fs.exr_slot,
+                             fs.ex_left, fs.ex_right)
+    near = np.asarray(near)
+    assert not near[6], "cross-box spring must be classified far"
+    assert not near[7], "backbone-adjacent spring must stay in the table"
+    # block table holds exactly the non-near active springs
+    n_active = int(jnp.sum(fs.ex_left >= 0))
+    n_far = int(np.sum(~near[np.asarray(fs.ex_left) >= 0]))
+    assert n_far >= 2
+    assert int(fs.ex_nblk) == -(-n_far // 32) or n_far == 0
