@@ -201,7 +201,9 @@ class FastState:
     # and launches are capped at one step.
     ex_tab: jax.Array = None     # (2*EPAD, 8) int32 stacked-anchor rows
     ex_tabT: jax.Array = None    # (NBLK*8, 2*EX_BLOCK) int32 lane-major
+    ex_bases: jax.Array = None   # (NBLK,) int32 window base / 128 (v5)
     ex_nblk: jax.Array = None    # () int32 leading blocks holding springs
+    ex_nwin: jax.Array = None    # () int32 leading WINDOWED blocks (v5)
     ex_fb: jax.Array = None      # () bool
     # (cap, P) f32 0/1 Langevin-group membership plane, rebuilt with the
     # grid (None when the thermostat covers all beads) — fix langevin
@@ -445,9 +447,17 @@ def _ex_block_table(exl_slot, exr_slot, ex_left, capP, P, cap, epad,
     [2Wb, 2W(b+1)) as [W left anchors; W right anchors] of springs
     bW..bW+W-1 — one one-hot/mask pair then serves BOTH sides in the
     kernel and the roll-by-W trick yields each side's signed
-    separation (pallas_step spring pass).  ACTIVE springs are
-    compacted to the front (order-preserving, so scatter-add order
-    matches the XLA ex_pass).
+    separation (pallas_step spring pass).
+    v5 windowing: active springs are sorted by min anchor lane and
+    chunked; a block whose anchors all fit one EX_WN-lane window is
+    WINDOWED — its cols are stored RELATIVE to a 128-aligned per-block
+    base and the kernel runs its one-hot/mask intermediates on
+    (2W, EX_WN) dynamic lane slices instead of (2W, P) full planes.
+    Windowed blocks are permuted to the front; ``nwin`` counts them and
+    ``bases`` (nblk_cap,) holds each block's base in 128-lane units
+    (full-P blocks: base 0, absolute cols).  Springs whose anchors'
+    targets are unique (occupancy-stall: <=1 anchor per bead), so the
+    sort does not change any scatter sum.
     ``tabT`` is the lane-major twin (nblk*8, 2*EX_BLOCK): row 8b+f
     holds field f of block b's 2W anchors as LANES — the kernel builds
     its TRANSPOSED one-hots from these rows directly, because Mosaic
@@ -457,9 +467,11 @@ def _ex_block_table(exl_slot, exr_slot, ex_left, capP, P, cap, epad,
     costs nact, not capacity.  ``fallback``: an active spring's anchor
     was overflow-dropped (slot >= capP — the bead never made it into
     the grid): nblk is forced to 0 and the caller must route springs
-    through the XLA exf planes with single-step launches."""
-    from .pallas_step import EX_BLOCK
+    through the XLA exf planes with single-step launches.
+    Returns (tab, tabT, bases, nblk, nwin, fallback)."""
+    from .pallas_step import EX_BLOCK, ex_window
 
+    WN = ex_window(P)
     act = ex_left >= 0
     in_grid = (exl_slot < capP) & (exr_slot < capP)
     fallback = jnp.any(act & ~in_grid)
@@ -474,6 +486,19 @@ def _ex_block_table(exl_slot, exr_slot, ex_left, capP, P, cap, epad,
     live = jnp.arange(e, dtype=jnp.int32) < nok
     sl = jnp.where(live, exl_slot[idx], 0)
     sr = jnp.where(live, exr_slot[idx], 0)
+    if WN > 0:
+        # v5 lane-sort: windowable springs (own span fits the window
+        # with alignment slack) first by min lane, then the rest, then
+        # padding — a stable key so rebuild-to-rebuild order is
+        # deterministic
+        cmin = jnp.minimum(sl % P, sr % P)
+        cmax = jnp.maximum(sl % P, sr % P)
+        sp_win = (cmax - cmin) <= (WN - 128)
+        key = jnp.where(live,
+                        jnp.where(sp_win, cmin, cmin + (1 << 24)),
+                        jnp.int32((1 << 30)))
+        order = jnp.argsort(key, stable=True)
+        sl, sr, live = sl[order], sr[order], live[order]
     okf = (live & ~fallback).astype(jnp.int32)
 
     def pad_blocks(a):
@@ -483,21 +508,47 @@ def _ex_block_table(exl_slot, exr_slot, ex_left, capP, P, cap, epad,
                 [a, jnp.zeros((epad - e,), jnp.int32)])
         return a.reshape(epad // EX_BLOCK, EX_BLOCK)
 
-    z = jnp.zeros((epad // EX_BLOCK, 2 * EX_BLOCK), jnp.int32)
+    nblk_cap = epad // EX_BLOCK
+    z = jnp.zeros((nblk_cap, 2 * EX_BLOCK), jnp.int32)
     # per-block [lefts; rights] stacking on the row axis
     rowf = jnp.concatenate(
         [pad_blocks(sl // P), pad_blocks(sr // P)], axis=1)
     colf = jnp.concatenate(
         [pad_blocks(sl % P), pad_blocks(sr % P)], axis=1)
     actf = jnp.concatenate([pad_blocks(okf), pad_blocks(okf)], axis=1)
+    nblk = jnp.where(fallback, 0, -(-nok // EX_BLOCK)).astype(jnp.int32)
+    bases = jnp.zeros((nblk_cap,), jnp.int32)
+    nwin = jnp.zeros((), jnp.int32)
+    if WN > 0:
+        # block windowability: every anchor (incl. inactive padding,
+        # whose col is 0 — masked out of the span by actb) within
+        # WN of the 128-aligned block base
+        actb = actf > 0
+        bmin = jnp.min(jnp.where(actb, colf, jnp.int32(P)), axis=1)
+        bmax = jnp.max(jnp.where(actb, colf, 0), axis=1)
+        base = jnp.clip(bmin // 128, 0, (P - WN) // 128)
+        has = jnp.any(actb, axis=1)
+        bidx = jnp.arange(nblk_cap, dtype=jnp.int32)
+        blk_win = (has & (bidx < nblk)
+                   & ((bmax - base * 128) <= (WN - 1)))
+        # permute windowed blocks to the front (stable)
+        bkey = jnp.where(bidx < nblk,
+                         jnp.where(blk_win, 0, 1), jnp.int32(2))
+        border = jnp.argsort(bkey, stable=True)
+        rowf, colf, actf = rowf[border], colf[border], actf[border]
+        base, blk_win = base[border], blk_win[border]
+        nwin = jnp.sum(blk_win.astype(jnp.int32))
+        # windowed blocks store window-RELATIVE cols
+        colf = jnp.where(blk_win[:, None], colf - base[:, None] * 128,
+                         colf)
+        bases = jnp.where(blk_win, base, 0).astype(jnp.int32)
     tab = jnp.stack(
         [rowf, colf, actf, z, z, z, z, z], axis=2
     ).reshape(2 * epad, 8)
     tabT = jnp.stack(
         [rowf, colf, actf, z, z, z, z, z], axis=1
     ).reshape(-1, 2 * EX_BLOCK)
-    nblk = jnp.where(fallback, 0, -(-nok // EX_BLOCK)).astype(jnp.int32)
-    return tab, tabT, nblk, fallback
+    return tab, tabT, bases, nblk, nwin, fallback
 
 
 def _halo_refresh(gx, maps: _FastMaps):
@@ -903,7 +954,7 @@ def to_fast(state: State, sim, groups=None) -> FastState:
     if ex_pass is not None:
         gf, eb2 = ex_pass(gx, gf, exl, exr, state.ex_left >= 0, True)
         e_b = e_b + eb2
-    tab, tabT, nblk, ex_fb = _ex_block_table(
+    tab, tabT, bases, nblk, nwin, ex_fb = _ex_block_table(
         exl, exr, state.ex_left, maps.cap * maps.P, maps.P, maps.cap,
         _ex_epad(system),
         near_mask=_near_spring_mask(system, sim.ex_btype, maps, exl, exr,
@@ -923,7 +974,8 @@ def to_fast(state: State, sim, groups=None) -> FastState:
         skin_pend=jnp.zeros((), jnp.int32),
         n_rebuilds=jnp.zeros((), jnp.int32),
         n_launches=jnp.zeros((), jnp.int32),
-        ex_tab=tab, ex_tabT=tabT, ex_nblk=nblk, ex_fb=ex_fb,
+        ex_tab=tab, ex_tabT=tabT, ex_bases=bases, ex_nblk=nblk,
+        ex_nwin=nwin, ex_fb=ex_fb,
         lgm=lgm,
     )
 
@@ -1160,14 +1212,15 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         pid = pid_flat.reshape(maps.cap, maps.P)
         pid = pid[:, jnp.asarray(maps.src_cols)]
         exl, exr = _ex_slots(fs.slot_of, l, r)
-        tab, tabT, nblk, ex_fb = _ex_block_table(
+        tab, tabT, bases, nblk, nwin, ex_fb = _ex_block_table(
             exl, exr, l, capP, maps.P, maps.cap, _ex_epad(system),
             near_mask=_near_spring_mask(system, sim.ex_btype, maps,
                                         exl, exr, l, r))
         return fs.replace(
             ex_left=l, ex_right=r, types=types, pid=pid,
             exl_slot=exl, exr_slot=exr,
-            ex_tab=tab, ex_tabT=tabT, ex_nblk=nblk, ex_fb=ex_fb, **kw
+            ex_tab=tab, ex_tabT=tabT, ex_bases=bases, ex_nblk=nblk,
+            ex_nwin=nwin, ex_fb=ex_fb, **kw
         )
 
     def rebuild(fs):
@@ -1176,7 +1229,7 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
          overflow) = _place(
             system, maps, x, v, f, fs.types, fs.ex_left, fs.ex_right, fs.img
         )
-        tab, tabT, nblk, ex_fb = _ex_block_table(
+        tab, tabT, bases, nblk, nwin, ex_fb = _ex_block_table(
             exl, exr, fs.ex_left, capP, maps.P, maps.cap,
             _ex_epad(system),
             near_mask=_near_spring_mask(system, sim.ex_btype, maps,
@@ -1192,7 +1245,8 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         return fs.replace(
             gx=gx, gv=gv, gf=gf, gx_ref=gx, bid=bid, hn=hn, pid=pid,
             slot_of=slot_of, exl_slot=exl, exr_slot=exr, img=img,
-            ex_tab=tab, ex_tabT=tabT, ex_nblk=nblk, ex_fb=ex_fb,
+            ex_tab=tab, ex_tabT=tabT, ex_bases=bases, ex_nblk=nblk,
+            ex_nwin=nwin, ex_fb=ex_fb,
             flags=fs.flags | overflow,
             skin_pend=jnp.zeros((), jnp.int32),
             n_rebuilds=fs.n_rebuilds + 1,
@@ -1536,7 +1590,9 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
                     t_slope=t_slope, limit=lim,
                     ex_tab=fs.ex_tab if sim.ex_btype > 0 else None,
                     ex_tabT=fs.ex_tabT if sim.ex_btype > 0 else None,
+                    ex_bases=fs.ex_bases if sim.ex_btype > 0 else None,
                     ex_nblk=fs.ex_nblk if sim.ex_btype > 0 else None,
+                    ex_nwin=fs.ex_nwin if sim.ex_btype > 0 else None,
                     lgm=fs.lgm,
                     # near-spring stencil term: off on the exf-fallback
                     # launch (the XLA planes then carry ALL springs)

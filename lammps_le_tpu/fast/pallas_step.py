@@ -98,6 +98,22 @@ _TF_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
 # the tradeoff on hardware (64 -> 2W=128 = a full MXU row pad, half the
 # fori trips, double the mask VMEM).
 EX_BLOCK = int(os.environ.get("LLE_EX_BLOCK", "32"))
+# v5 windowed spring blocks: blocks whose anchors all fall in one
+# EX_WN-lane window run their one-hot/mask intermediates on
+# (2W, EX_WN) slices via 128-aligned dynamic lane windows instead of
+# (2W, P) full planes — the block pass cost was the per-block (2W, P)
+# VPU intermediates (PERF_NOTES E-scaling table), so the windowed loop
+# cuts it by ~P/EX_WN.  0 disables (all blocks full-P).
+EX_WN = int(os.environ.get("LLE_EX_WN", "4096"))
+
+
+def ex_window(P: int) -> int:
+    """Static window width for the v5 windowed spring blocks at plane
+    width P — 0 disables windowing (grid too small for one window +
+    128-aligned base to always fit, or env-disabled).  Single source of
+    truth: the kernel and engine._ex_block_table must agree EXACTLY or
+    windowed blocks read the wrong lanes."""
+    return EX_WN if 0 < EX_WN <= P - 128 else 0
 
 # Approximate VPU reciprocal + one Newton-Raphson refinement replaces the
 # two exact f32 divisions of the pair slab (multi-op VPU sequences).  The
@@ -251,13 +267,18 @@ def make_offset_loop(C: StencilConsts, cap: int, PW: int, NOFF: int,
     (``BJ == pi`` — the same partner plane the LJ exclusion reads, valid
     because occupancy-stall keeps <=1 anchor per bead) get the harmonic
     bond force fused into the pair chain: fbond/r = -2k(r-r0)/r =
-    khr0*rinv - khe2 with rinv = sqrt(r2) off the SHARED reciprocal
-    (bond_harmonic.cpp:48).  The engine then keeps only stencil-INVISIBLE
-    springs in the block table (engine._ex_block_table near split) —
-    visibility == rebuild-cell adjacency, exact for the whole launch
-    because the grid-resident cells are frozen between rebuilds.
+    khr0/r - khe2 on its OWN rsqrt (bond_harmonic.cpp:48) — NOT on the
+    shared LJ reciprocal: routing it through rsq_den extended that
+    value's live range across the unrolled j-split and hit the Mosaic
+    register-spill cliff (242.96 MB VMEM, hardware 2026-08-19).  The
+    engine then keeps only stencil-INVISIBLE springs in the block table
+    (engine._ex_block_table near split) — visibility == rebuild-cell
+    adjacency, exact for the whole launch because the grid-resident
+    cells are frozen between rebuilds.
     ``sp_on`` (f32 0/1) gates the term at run time: the exf-fallback
-    launch covers ALL springs via XLA planes and must suppress it.
+    launch covers ALL springs via XLA planes and must suppress it; it
+    enters only through launch-scalar-gated spring constants, costing
+    the inner loop nothing.
     """
     if APPROX_RCP and not interpret:
         def _rcp(x):
@@ -278,8 +299,14 @@ def make_offset_loop(C: StencilConsts, cap: int, PW: int, NOFF: int,
 
     def run(d_ref, ox_ref, bid, u1, pid_ref, valid, facc_ref, sacc_ref,
             sp_on=None):
-        if near_ex is not None and sp_on is None:
-            sp_on = jnp.ones((), jnp.float32)
+        if near_ex is not None:
+            if sp_on is None:
+                sp_on = jnp.ones((), jnp.float32)
+            # launch-scalar gating: fold sp_on into the spring constants
+            # once, so the per-element term needs no extra multiply
+            khr0_g = khr0 * sp_on
+            khe2_g = khe2 * sp_on
+            khe_g = khe_c * sp_on
         def offset_body(o, carry):
             # pid loads PER OFFSET (matching the r3 kernel): hoisting it
             # out of the fori made the value live across the whole loop
@@ -341,9 +368,6 @@ def make_offset_loop(C: StencilConsts, cap: int, PW: int, NOFF: int,
                     pair_ok = lj_ok | (w_b_m & (rsq < wca_cutsq))
                     rsq_den = jnp.maximum(
                         jnp.where(pair_ok, rsq, 1.0), floorsq)
-                    if near_ex is not None:
-                        rsq_den = jnp.where(
-                            sp, jnp.maximum(rsq, 1e-12), rsq_den)
                     w12 = jnp.where(pair_ok, w_i, 0.0)
                     r2 = _rcp(rsq_den)
                     r6 = r2 * r2 * r2
@@ -358,22 +382,21 @@ def make_offset_loop(C: StencilConsts, cap: int, PW: int, NOFF: int,
                             jnp.where(in_cut & nz_pair, rsq, 1.0),
                             floorsq),
                     )
-                    if near_ex is not None:
-                        rsq_den = jnp.where(
-                            sp, jnp.maximum(rsq, 1e-12), rsq_den)
                     r2 = _rcp(rsq_den)
                     r6 = r2 * r2 * r2
                     ffac = r6 * (lj1 * r6 - lj2) * r2 * w12
                 if near_ex is not None:
-                    # harmonic spring off the shared reciprocal:
-                    # fbond/r = -2k + 2k*r0/r (bond_harmonic.cpp:48)
-                    w_sp = jnp.where(sp, w_i * sp_on, 0.0)
-                    rinv = jnp.sqrt(r2)
-                    ffac = ffac + (khr0 * rinv - khe2) * w_sp
+                    # harmonic spring on its own rsqrt (register-pressure
+                    # note in the docstring): fbond/r = 2k*r0/r - 2k
+                    # (bond_harmonic.cpp:48); sp_on gating rides the
+                    # pre-folded _g constants
+                    rinv = jax.lax.rsqrt(jnp.maximum(rsq, 1e-12))
+                    ffac = ffac + jnp.where(
+                        sp, w_i * (khr0_g * rinv - khe2_g), 0.0)
                     if energy:
-                        drs = rsq_den * rinv - r0he_c
+                        drs = rsq * rinv - r0he_c
                         sacc_ref[1:2, :] += wgt * jnp.sum(
-                            w_sp * (khe_c * drs * drs),
+                            jnp.where(sp, w_i * (khe_g * drs * drs), 0.0),
                             axis=0, keepdims=True)
                 if energy:
                     w_lj = (jnp.where(lj_ok, w_i, 0.0)
@@ -632,7 +655,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         near_ex=((2.0 * khe, 2.0 * khe * r0he, khe, r0he)
                  if near_split else None))
 
-    def kernel(d_ref, meta_ref, key_ref, sc_ref,
+    def kernel(d_ref, meta_ref, key_ref, sc_ref, exb_ref,
                tab_ref, tabT_ref, gx_ref_in, gv_ref, gf_ref, exf_ref,
                gxr_ref, bid_ref, hn_ref, pid_ref, aux_ref, *rest):
         """VMEM discipline (the 100k lesson): every value that must live
@@ -659,6 +682,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         # one step)
         limit = meta_ref[3]
         ex_nblk = meta_ref[4]
+        ex_nwin = meta_ref[5]  # leading WINDOWED spring blocks (v5)
         # meta[2]: near-spring stencil term enabled this launch (0 on the
         # exf-fallback launch, where the XLA planes carry ALL springs)
         sp_on = ((meta_ref[2] > 0).astype(jnp.float32)
@@ -778,13 +802,18 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                 lane_i = jax.lax.broadcasted_iota(
                     jnp.int32, (W2, P), 1)
 
+                WNw = ex_window(P)
+                if WNw:
+                    lane_iw = jax.lax.broadcasted_iota(
+                        jnp.int32, (W2, WNw), 1)
+
                 @pl.when(ex_nblk > 0)
                 def _spring_pass():
-                    def blk(b, carry):
+                    def blk_body(t, tT, M2, gather, scatter):
                         # v3 stacked-anchor block: rows [0, W) are the
                         # block's LEFT anchors, rows [W, 2W) its RIGHT
                         # anchors (engine._ex_block_table), so ONE
-                        # one-hot/mask pair serves both sides and the
+                        # one-hot/mask pair serves BOTH sides and the
                         # block needs 3 gather + 3 scatter dots instead
                         # of v2's 12 (each dot pads to 128 MXU rows
                         # anyway, so doubling rows 32->64 is free).  The
@@ -792,16 +821,16 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                         # static half-rotation: xc - roll(xc, W) is
                         # xl - xr on the top half and xr - xl on the
                         # bottom — exactly each side's force direction.
-                        t = tab_ref[pl.ds(b * W2, W2), :]
-                        tT = tabT_ref[pl.ds(b * 8, 8), :]
+                        # v5: gather/scatter are injected so WINDOWED
+                        # blocks run the same physics on (2W, EX_WN)
+                        # lane slices (engine sorts springs by lane and
+                        # permutes windowed blocks to the front).
                         A2 = (rows_i == t[:, 0:1]).astype(jnp.float32)
-                        M2 = (lane_i == t[:, 1:2]).astype(jnp.float32)
                         am = t[:, 2:3].astype(jnp.float32)
                         dd = []
                         for c in range(3):
-                            xc = jnp.sum(
-                                jnp.dot(A2, ox_ref[c], precision=hp)
-                                * M2, axis=1, keepdims=True)
+                            xc = jnp.sum(gather(c, A2) * M2,
+                                         axis=1, keepdims=True)
                             L = float(box[c])
                             dc = xc - pltpu.roll(xc, EX_BLOCK, 0)
                             dd.append(dc - L * jnp.round(dc / L))
@@ -841,10 +870,8 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                         # (cap, 2W) @ (2W, P): the v1 dim-0 contractions
                         # forced Mosaic relayouts
                         A2T = (rowsT_i == tT[0:1, :]).astype(jnp.float32)
-                        for c in range(3):
-                            # dd already carries each side's sign
-                            facc_ref[c, :, :] += jnp.dot(
-                                A2T, M2 * (dd[c] * w), precision=hp)
+                        # dd already carries each side's sign
+                        scatter(A2T, M2, dd, w)
                         if energy:
                             # each spring appears twice (both anchors), so
                             # the row sum is 2*sum(eb) — what the engine's
@@ -852,9 +879,54 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
                             sacc_ref[1:2, :] += (
                                 jnp.zeros((1, P), jnp.float32)
                                 + (1.0 / P) * jnp.sum(eb_s * am))
+
+                    def blk(b, carry):
+                        t = tab_ref[pl.ds(b * W2, W2), :]
+                        tT = tabT_ref[pl.ds(b * 8, 8), :]
+                        M2 = (lane_i == t[:, 1:2]).astype(jnp.float32)
+
+                        def gather(c, A2):
+                            return jnp.dot(A2, ox_ref[c], precision=hp)
+
+                        def scatter(A2T, M2, dd, w):
+                            for c in range(3):
+                                facc_ref[c, :, :] += jnp.dot(
+                                    A2T, M2 * (dd[c] * w), precision=hp)
+
+                        blk_body(t, tT, M2, gather, scatter)
                         return carry
 
-                    jax.lax.fori_loop(0, jnp.minimum(ex_nblk, NBLK), blk,
+                    if WNw:
+                        def blk_win(b, carry):
+                            # windowed block: cols in tab are RELATIVE to
+                            # the 128-aligned base (engine guarantees all
+                            # anchors inside [base, base+WN))
+                            t = tab_ref[pl.ds(b * W2, W2), :]
+                            tT = tabT_ref[pl.ds(b * 8, 8), :]
+                            base = exb_ref[b] * 128
+                            M2 = (lane_iw == t[:, 1:2]).astype(jnp.float32)
+
+                            def gather(c, A2):
+                                return jnp.dot(
+                                    A2, ox_ref[c, :, pl.ds(base, WNw)],
+                                    precision=hp)
+
+                            def scatter(A2T, M2, dd, w):
+                                for c in range(3):
+                                    facc_ref[
+                                        c, :, pl.ds(base, WNw)
+                                    ] += jnp.dot(A2T, M2 * (dd[c] * w),
+                                                 precision=hp)
+
+                            blk_body(t, tT, M2, gather, scatter)
+                            return carry
+
+                        nw = jnp.minimum(ex_nwin, NBLK)
+                        jax.lax.fori_loop(0, nw, blk_win,
+                                          jnp.zeros((), jnp.int32))
+                    else:
+                        nw = jnp.zeros((), jnp.int32)
+                    jax.lax.fori_loop(nw, jnp.minimum(ex_nblk, NBLK), blk,
                                       jnp.zeros((), jnp.int32))
 
             # ---- post force: extruder residue + Langevin
@@ -963,7 +1035,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         round(sighe, 12), bool(ex_harmonic),
         round(float(system.neighbor.skin), 12),
         energy, lan is not None, lan_zero, lan_group, has_ex, interpret,
-        APPROX_RCP, near_split,
+        APPROX_RCP, near_split, ex_window(P),
     )
     grid_call = _CALL_CACHE.get(cache_key)
     if grid_call is None:
@@ -972,7 +1044,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             kernel,
             out_shape=[plane, plane, plane,
                        jax.ShapeDtypeStruct((8, 128), jnp.float32)],
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5 +
                      [pl.BlockSpec(memory_space=pltpu.VMEM)]
                      * (12 if lan_group else 11),
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
@@ -997,7 +1069,8 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
     def call(gx, gv, gf, exf, gxref, bid, hn, pid,
              sstep, do_drift, key_words, t_target,
              t_slope=None, limit=None, ex_tab=None,
-             ex_tabT=None, ex_nblk=None, lgm=None, ex_inkernel=None):
+             ex_tabT=None, ex_bases=None, ex_nblk=None, ex_nwin=None,
+             lgm=None, ex_inkernel=None):
         """key_words: (2,) uint32 RUN-constant PRNG words (the langevin
         key folded WITHOUT the step — engine step_pallas).
 
@@ -1019,8 +1092,12 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             ex_tab = jnp.zeros((2 * EPAD, 8), jnp.int32)
         if ex_tabT is None:
             ex_tabT = jnp.zeros((NBLK * 8, 2 * EX_BLOCK), jnp.int32)
+        if ex_bases is None:
+            ex_bases = jnp.zeros((NBLK,), jnp.int32)
         if ex_nblk is None:
             ex_nblk = jnp.zeros((), jnp.int32)
+        if ex_nwin is None:
+            ex_nwin = jnp.zeros((), jnp.int32)
         if ex_inkernel is None:
             # default: near-spring stencil term on whenever compiled in
             # (the engine passes 0 on the exf-fallback launch)
@@ -1028,7 +1105,8 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
         meta = jnp.stack([sstep, do_drift.astype(jnp.int32),
                           ex_inkernel.astype(jnp.int32),
                           limit.astype(jnp.int32),
-                          ex_nblk.astype(jnp.int32)])
+                          ex_nblk.astype(jnp.int32),
+                          ex_nwin.astype(jnp.int32)])
         keyw = jnp.stack([
             key_words[0], key_words[1],
             (sstep * 4).astype(jnp.uint32), jnp.zeros((), jnp.uint32),
@@ -1053,7 +1131,7 @@ def make_step_kernel(system: System, maps, ex_btype: int, *,
             jnp.asarray(dt, jnp.float32), jnp.asarray(kick, jnp.float32),
             g1, g2b, t0, tsl, icnt, zf,
         ])
-        args = [d_arr, meta, keyw, sc,
+        args = [d_arr, meta, keyw, sc, ex_bases,
                 ex_tab, ex_tabT, gx, gv, gf, exf, gxref,
                 bid, hn.astype(jnp.int32), pid, aux_arr]
         if lan_group:

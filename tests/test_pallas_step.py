@@ -367,3 +367,120 @@ def test_near_spring_table_partition(melt32, monkeypatch):
     n_far = int(np.sum(~near[np.asarray(fs.ex_left) >= 0]))
     assert n_far >= 2
     assert int(fs.ex_nblk) == -(-n_far // 32) or n_far == 0
+
+
+@pytest.fixture(scope="module")
+def melt2k():
+    """Larger thermalized melt whose grid is wide enough (P >= 640) for
+    the v5 windowed spring blocks under a monkeypatched EX_WN=512."""
+    n = 2000
+    data = serpentine(n, spacing=0.97, row_gap=1.1, seed=9,
+                      barrier_fraction=0.01)
+    ones = np.ones((4, 4))
+    pair = PairLJCut(epsilon=ones, sigma=ones, cutoff=1.12 * ones, shift=True)
+    bonds = BondParams(
+        style=np.array([BOND_FENE, BOND_HARMONIC]),
+        coeffs=np.array([[30.0, 1.5, 1.0, 1.0], [3.0, 1.1, 0.0, 0.0]]),
+    )
+    system, _ = system_from_data(
+        data, pair=pair, bonds=bonds, dtype="float32", ex_btype=2,
+        max_extruders=64, skin=0.4, rebuild_every=5, cell_cap=9,
+    )
+    warm = Simulation(system=system, dt=0.005,
+                      fixes=(NVE(), Langevin(1.0, 1.0, 1.0, seed=5)),
+                      ex_btype=2)
+    state = init_state(system, data.x, types=data.types, seed=11)
+    state, _ = run_general(warm, state, 40)
+    # mix of LOCAL springs (chain-adjacent anchors -> windowable) and
+    # FAR ones (opposite ends of the serpentine -> full-P blocks)
+    left = np.full(64, -1, np.int32)
+    right = np.full(64, -1, np.int32)
+    sites = np.arange(36) * 50 + 3
+    left[:36] = sites
+    right[:36] = sites + 2
+    left[36], right[36] = 5, 1900
+    left[37], right[37] = 60, 1700
+    state = state.replace(
+        ex_left=jnp.asarray(left), ex_right=jnp.asarray(right),
+        flags=jnp.zeros((), jnp.uint32),
+    )
+    return system, state
+
+
+def test_windowed_block_table_invariants(melt2k, monkeypatch):
+    """v5 table: windowed blocks store base-relative cols inside
+    [0, WN); reconstructing absolute (row, col, active) anchors over
+    windowed+full blocks gives EXACTLY the active input anchors."""
+    from lammps_le_tpu.fast import pallas_step
+    from lammps_le_tpu.fast.engine import _ex_block_table, fast_maps
+
+    monkeypatch.setattr(pallas_step, "EX_WN", 512)
+    system, state = melt2k
+    sim = Simulation(
+        system=system, dt=0.005,
+        fixes=(NVE(), Langevin(1.0, 1.0, 10.0, seed=904297)),
+        ex_btype=2)
+    fs = to_fast(state, sim)
+    maps = fast_maps(system)
+    P, cap = maps.P, maps.cap
+    assert pallas_step.ex_window(P) == 512
+    W = pallas_step.EX_BLOCK
+    tab = np.asarray(fs.ex_tab).reshape(-1, 2 * W, 8)
+    bases = np.asarray(fs.ex_bases)
+    nblk, nwin = int(fs.ex_nblk), int(fs.ex_nwin)
+    assert nblk >= 2 and 1 <= nwin < nblk
+    got = set()
+    for b in range(nblk):
+        rows = tab[b]
+        act = rows[:, 2] > 0
+        cols = rows[:, 1].copy()
+        if b < nwin:
+            assert 0 <= bases[b] * 128 <= P - 512
+            assert np.all(cols[act] >= 0) and np.all(cols[act] < 512)
+            cols = cols + bases[b] * 128
+        else:
+            assert bases[b] == 0
+        for r, c in zip(rows[act, 0], cols[act]):
+            got.add((int(r), int(c)))
+    want = set()
+    for sl, sr, l in zip(np.asarray(fs.exl_slot), np.asarray(fs.exr_slot),
+                         np.asarray(fs.ex_left)):
+        if l >= 0:
+            want.add((int(sl) // P, int(sl) % P))
+            want.add((int(sr) // P, int(sr) % P))
+    assert got == want
+    # the far cross-box springs must NOT be windowed: find their anchors
+    # in full-P blocks only
+    sl36 = int(np.asarray(fs.exl_slot)[36])
+    found_in_full = any(
+        (tab[b][:, 2] > 0)
+        [np.asarray(tab[b][:, 0] * P + tab[b][:, 1] +
+                    (bases[b] * 128 if b < nwin else 0) == sl36)].any()
+        for b in range(nwin, nblk))
+    assert found_in_full
+
+
+def test_windowed_block_parity(melt2k, monkeypatch):
+    """Physics is invariant to the windowed/full split: interpret-mode
+    fused kernel (EX_WN=512, windowed blocks active) matches the XLA
+    chain through steps, energies, and the full LE event machinery."""
+    from lammps_le_tpu.fast import pallas_step
+
+    monkeypatch.setattr(pallas_step, "EX_WN", 512)
+    system, state = melt2k
+    sim = Simulation(
+        system=system, dt=0.005, energy_every=2,
+        fixes=(NVE(), Langevin(1.0, 1.0, 10.0, seed=904297)),
+        ex_btype=2)
+    fx = _run_core(sim, state, 4, pallas=False)
+    fp = _run_core(sim, state, 4, pallas="interpret")
+    assert int(fp.ex_nwin) >= 1
+    # compare PHYSICAL (bead-extracted) state: raw planes differ in
+    # ghost columns whose stale values are engine-cadence-dependent
+    # (physically irrelevant; present with EX_WN=0 too)
+    sx = from_fast(fx, system)
+    sp = from_fast(fp, system)
+    assert float(jnp.max(jnp.abs(sx.x - sp.x))) < 1e-5
+    assert float(jnp.max(jnp.abs(sx.v - sp.v))) < 1e-4
+    assert abs(float(fp.ebond) - float(fx.ebond)) < 5e-2
+    assert int(fp.flags) == int(fx.flags) == 0
