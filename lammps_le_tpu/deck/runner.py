@@ -526,6 +526,34 @@ class DeckRunner:
                     spec["cutoff"] = float(rest[0])
             self.computes[cid] = spec
             return
+        if style == "chunk/atom":
+            # compute ID group chunk/atom molecule|type — per-atom chunk
+            # assignment consumed by the */chunk computes
+            # (src/compute_chunk_atom.cpp; the molecule/type forms —
+            # per-chain observables are the chromatin use case)
+            if not args[3:] or args[3] not in ("molecule", "type"):
+                raise DeckError(
+                    "compute chunk/atom: only 'molecule' and 'type' "
+                    "chunking supported")
+            self.computes[cid] = {"style": style, "group": group,
+                                  "kind": args[3]}
+            return
+        if style in ("com/chunk", "gyration/chunk", "msd/chunk"):
+            # per-chunk observables over a chunk/atom compute
+            # (src/compute_com_chunk.cpp, compute_gyration_chunk.cpp,
+            # compute_msd_chunk.cpp): global vector/array output for
+            # thermo c_ID[i] and fix ave/time mode vector
+            if not args[3:]:
+                raise DeckError(f"compute {style}: chunk/atom ID required")
+            ccid = args[3]
+            cc = self.computes.get(ccid)
+            if cc is None or cc["style"] != "chunk/atom":
+                raise DeckError(
+                    f"compute {style}: {ccid!r} is not a chunk/atom "
+                    "compute")
+            self.computes[cid] = {"style": style, "group": group,
+                                  "chunk": ccid, "com0": None}
+            return
         if style not in ("gyration", "msd", "temp", "pressure", "ke",
                          "pe", "com"):
             raise DeckError(f"unsupported compute style {style}")
@@ -641,6 +669,19 @@ class DeckRunner:
                 raise DeckError(
                     f"compute {cid} (com) is a vector: use c_{cid}[1..3]")
             return float(com[idx - 1])
+        if spec["style"] in self._CHUNK_STYLES:
+            # vector element access: c_ID[i] = chunk i's value (first
+            # column — Rg for gyration/chunk, x for com/chunk, dx2 for
+            # msd/chunk; full rows go through fix ave/time mode vector)
+            if idx is None:
+                raise DeckError(
+                    f"compute {cid} ({spec['style']}) is per-chunk: "
+                    f"use c_{cid}[i] or fix ave/time mode vector")
+            tabv = self._chunk_table(cid, st)
+            if not 1 <= idx <= tabv.shape[0]:
+                raise DeckError(
+                    f"c_{cid}[{idx}]: only {tabv.shape[0]} chunks")
+            return float(tabv[idx - 1, 0])
         if idx is not None:
             raise DeckError(f"compute {cid} has no vector output")
         if spec["style"] == "ke":
@@ -722,11 +763,63 @@ class DeckRunner:
             return float(np.mean(vals))
         raise DeckError(cid)
 
+    def _chunk_ids(self, ccid, st):
+        """Per-atom chunk ids for a chunk/atom compute: (ids, nchunk)
+        with id -1 = not in a chunk (outside the compute's group —
+        compute_chunk_atom.cpp's 'chunk 0').  Molecule/type ids are
+        static, so nchunk is too."""
+        spec = self.computes[ccid]
+        if spec["kind"] == "molecule":
+            ids = np.asarray(self.system.molecule).astype(np.int64)
+        else:
+            ids = np.asarray(st.type).astype(np.int64)
+        sel = self._group_mask(spec["group"])
+        if sel is not None:
+            ids = np.where(np.asarray(sel), ids, -1)
+        return ids, int(ids.max()) + 1
+
+    def _chunk_table(self, cid, st):
+        """Evaluate a */chunk compute -> (nchunk, k) float array:
+        com/chunk -> [x, y, z] (compute_com_chunk.cpp), gyration/chunk
+        -> [Rg] (compute_gyration_chunk.cpp), msd/chunk -> [dx2, dy2,
+        dz2, total] of each chunk COM since the first evaluation
+        (compute_msd_chunk.cpp).  All mass-weighted, unwrapped."""
+        spec = self.computes[cid]
+        ids, nchunk = self._chunk_ids(spec["chunk"], st)
+        xu = np.asarray(self._unwrapped(st), np.float64)
+        m = np.asarray(self.system.masses, np.float64)[np.asarray(st.type)]
+        ok = ids >= 0
+        idc = np.where(ok, ids, 0)
+        mw = np.where(ok, m, 0.0)
+        mtot = np.maximum(np.bincount(idc, weights=mw, minlength=nchunk),
+                          1e-300)
+        com = np.stack([
+            np.bincount(idc, weights=mw * xu[:, c], minlength=nchunk)
+            for c in range(3)], axis=1) / mtot[:, None]
+        if spec["style"] == "com/chunk":
+            return com
+        if spec["style"] == "gyration/chunk":
+            d2 = np.sum((xu - com[idc]) ** 2, axis=1)
+            rg2 = np.bincount(idc, weights=mw * d2,
+                              minlength=nchunk) / mtot
+            return np.sqrt(rg2)[:, None]
+        # msd/chunk: COM displacement since the compute's first call
+        if spec["com0"] is None or spec["com0"].shape != com.shape:
+            spec["com0"] = com
+        d = com - spec["com0"]
+        return np.column_stack([d[:, 0] ** 2, d[:, 1] ** 2, d[:, 2] ** 2,
+                                np.sum(d * d, axis=1)])
+
+    _CHUNK_STYLES = ("com/chunk", "gyration/chunk", "msd/chunk")
+
     def _compute_vector(self, cid, st):
         """Global VECTOR computes (one snapshot): rdf -> (nbins, 4) rows
         [bin, r_center, g(r), coord#] matching compute_rdf.cpp's array
-        columns (consumed by fix ave/time mode vector)."""
+        columns; */chunk computes -> their per-chunk tables (both
+        consumed by fix ave/time mode vector)."""
         spec = self.computes[cid]
+        if spec["style"] in self._CHUNK_STYLES:
+            return self._chunk_table(cid, st)
         if spec["style"] != "rdf":
             raise DeckError(f"compute {cid} has no vector output")
         import jax.numpy as jnp
