@@ -182,17 +182,6 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
         if gjf_fix.gjf not in ("vfull", "vhalf"):
             raise ValueError(
                 f"fix langevin gjf must be no/vfull/vhalf, got {gjf_fix.gjf!r}")
-        if gjf_fix.tally or gjf_fix.zero:
-            # UNIMPLEMENTED parity gap: the reference DOES support
-            # gjf+tally (fix_langevin.cpp templated post_force<GJF=1,
-            # TALLY=1> + the gjfflag branch in compute_scalar) and
-            # gjf+zero; our GJF path folds noise into the Verlet kicks
-            # and does not thread the gjf-scaled velocities into the
-            # tally dot product yet.
-            raise ValueError(
-                "fix langevin gjf with tally/zero is not implemented here "
-                "(the reference supports it — fix_langevin.cpp "
-                "post_force<GJF,TALLY>); run gjf no or tally no")
         if len(nve_fixes) != 1 or not (
             type(nve_fixes[0]) is NVE and nve_fixes[0].group is None
         ):
@@ -292,7 +281,23 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
                 sigma = jnp.sqrt(
                     2.0 * dt * kT / (gjf_fix.damp * m * units.mvv2e)
                 )
-                return sigma * jax.random.normal(key, state.v.shape, dtype)
+                dv = sigma * jax.random.normal(key, state.v.shape, dtype)
+                if gjf_fix.zero:
+                    # zeroflag under gjf: the random force sums to zero
+                    # over the group each step (fix_langevin.cpp Tp_ZERO
+                    # applies to the gjfa-scaled fran; mean subtraction
+                    # commutes with the (dv^n + dv^{n+1})/2 average, so
+                    # centering each noise stream gives the same
+                    # zero-total-impulse property)
+                    if gjf_gm is None:
+                        dv = dv - jnp.mean(dv, axis=0, keepdims=True)
+                    else:
+                        cnt = jnp.maximum(jnp.sum(gjf_gm.astype(dtype)), 1.0)
+                        mean = jnp.sum(
+                            jnp.where(gjf_gm, dv, 0.0), axis=0, keepdims=True
+                        ) / cnt
+                        dv = dv - mean
+                return dv
 
         # --- initial integrate: half kick + drift (fix_nve.cpp:64-103) ---
         v = state.v
@@ -312,6 +317,13 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
             kick = dt * units.ftm2v * state.f / m
             u_new = gjf_a * v + sqb * kick + 0.5 * sqb * (dv_prev + dv_cur)
             vh_plain = v + dtf * state.f / m
+            if gjf_fix.tally:
+                # thermostat velocity increment vs the pure leapfrog kick
+                # (u^{n-1} + dt f^n/m); invariant under later common
+                # updates, consumed by the tally block below
+                gjf_dvt = u_new - (v + kick)
+                if gjf_gm is not None:
+                    gjf_dvt = jnp.where(gjf_gm, gjf_dvt, 0.0)
             if gjf_gm is None:
                 v = u_new
                 x = x + dt * sqb * u_new
@@ -327,6 +339,13 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
             vh = v + dtf * state.f / m
             v_drift = gjf_b * (vh + 0.5 * dv_cur)
             v_store = gjf_a * vh + gjf_b * dv_cur
+            if gjf_fix.tally:
+                # thermostat velocity increment vs the pure NVE half-kick
+                # velocity vh; the final half-kick adds the same term to
+                # both, so the delta survives to the post-step tally
+                gjf_dvt = v_store - vh
+                if gjf_gm is not None:
+                    gjf_dvt = jnp.where(gjf_gm, gjf_dvt, 0.0)
             if gjf_gm is None:
                 v = v_store
                 x = x + dt * v_drift
@@ -500,6 +519,23 @@ def make_step(sim: Simulation, groups: Optional[dict] = None):
         therm_e = state.therm_e
         for fl in tally_terms:
             therm_e = therm_e - dt * jnp.sum(fl * v)
+        if gjf_fix is not None and gjf_fix.tally:
+            # gjf tally (fix_langevin.cpp post_force<GJF=1,TALLY=1> + the
+            # end_of_step gjfflag branch).  The reference estimates the
+            # transfer with a midpoint flangevin . lv dot; our GJF path
+            # folds drag/noise into the Verlet kicks, where that
+            # estimator's noise-velocity correlation does not telescope
+            # (it drifts ~kT/damp per step).  Instead tally the EXACT
+            # kinetic-energy increment the thermostat produced: gjf_dvt is
+            # the thermostat's velocity delta vs a pure NVE kick
+            # (invariant under the shared final kick), so the reservoir
+            # paid 0.5 m (|v|^2 - |v - dvt|^2) this step.  Same cumulative
+            # ledger and sign convention as the non-gjf branch; the
+            # reference's first-step capture quirk (compute_scalar seeds
+            # energy at beginstep) is not replicated.
+            vm = v - gjf_dvt
+            therm_e = therm_e - 0.5 * units.mvv2e * jnp.sum(
+                m * (v * v - vm * vm))
 
         from ..state import FLAG_NON_FINITE
 

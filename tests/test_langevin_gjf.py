@@ -133,14 +133,53 @@ def test_langevin_tally_energy_bookkeeping():
     assert abs(gained - paid) / gained < 0.05, (gained, paid)
 
 
+def test_gjf_tally_energy_bookkeeping():
+    """gjf vhalf + tally yes (fix_langevin.cpp post_force<GJF,TALLY>):
+    the reservoir ledger balances the system's energy gain.  The
+    reference dots flangevin with the gjf-scaled lv velocities; the
+    gjfsib factors cancel, leaving (gamma1 v + fran_prev) . v at the
+    stored velocities (see verlet.py)."""
+    system, x = _dimer_gas(m=64)
+    dt = 0.01
+    sim = Simulation(
+        system=system, dt=dt,
+        fixes=(NVE(),
+               Langevin(1.0, 1.0, 5.0, seed=13, gjf="vhalf", tally=True)))
+    state = init_state(system, x, seed=2)  # v = 0: etotal rises to ~kT
+    from lammps_le_tpu.integrate import setup, thermo_row
+
+    import jax
+
+    state = jax.jit(lambda s: setup(sim, s))(state)
+    e0 = float(thermo_row(state, system).etotal)
+    state, _ = run(sim, state, 1200)
+    e1 = float(thermo_row(state, system).etotal)
+    gained = e1 - e0
+    paid = -float(state.therm_e)
+    assert gained > 50.0
+    assert abs(gained - paid) / gained < 0.05, (gained, paid)
+
+
+def test_gjf_zero_conserves_group_momentum():
+    """gjf + zero yes: the random force sums to zero over the group each
+    step (fix_langevin.cpp Tp_ZERO), so a zero-momentum free gas stays at
+    exactly zero total momentum (drag is proportional to the zero total)."""
+    system, x = _free_gas(n=128)
+    sim = Simulation(system=system, dt=0.05, fixes=(
+        NVE(), Langevin(1.0, 1.0, 2.0, seed=21, gjf="vhalf", zero=True)))
+    state = init_state(system, x, seed=6)  # v = 0
+    state, _ = run(sim, state, 400)
+    p = np.asarray(state.v).sum(axis=0)
+    vrms = float(np.sqrt(np.mean(np.asarray(state.v) ** 2)))
+    assert vrms > 0.5  # thermalized
+    assert np.all(np.abs(p) < 1e-8 * 128 * vrms), p
+
+
 def test_gjf_validation_errors():
     system, x = _free_gas(n=8, box_l=10.0)
     from lammps_le_tpu.integrate.verlet import make_step
     from lammps_le_tpu.fixes import NVELimit
 
-    with pytest.raises(ValueError, match="gjf"):
-        make_step(Simulation(system=system, dt=0.1, fixes=(
-            NVE(), Langevin(1.0, 1.0, 1.0, gjf="vhalf", tally=True))))
     with pytest.raises(ValueError, match="exactly one group-all fix nve"):
         make_step(Simulation(system=system, dt=0.1, fixes=(
             NVELimit(xmax=0.1), Langevin(1.0, 1.0, 1.0, gjf="vfull"))))
