@@ -254,9 +254,40 @@ class DeckRunner:
         rid, style = args[0], args[1]
         if style != "block":
             raise DeckError(f"unsupported region style {style}")
-        bb = [float(v) for v in args[2:8]]
         scale = self.lattice[1] if self.lattice else 1.0
-        self.regions[rid] = ("block", [v * scale for v in bb])
+        tail = list(args[8:])
+        while tail:
+            k = tail.pop(0)
+            if k == "units" and tail:
+                u = tail.pop(0)
+                if u == "box":
+                    scale = 1.0
+                elif u != "lattice":
+                    raise DeckError(f"region units {u!r} unsupported")
+            else:
+                raise DeckError(f"unsupported region arg {k!r}")
+        bb = []
+        for k, v in enumerate(args[2:8]):
+            # EDGE = the box face, INF = open (region.cpp:290-320);
+            # both resolve against the current/created box
+            if v in ("EDGE", "INF"):
+                ax = k // 2
+                if v == "INF":
+                    bb.append(-1e30 if k % 2 == 0 else 1e30)
+                elif getattr(self, "_pending_box", None) is not None:
+                    _, blo, bhi = self._pending_box
+                    bb.append(blo[ax] if k % 2 == 0 else bhi[ax])
+                elif self.system is not None:
+                    bb.append(self.system.box_lo[ax] if k % 2 == 0
+                              else self.system.box_hi[ax])
+                elif self.data is not None:
+                    bb.append(self.data.box_lo[ax] if k % 2 == 0
+                              else self.data.box_hi[ax])
+                else:
+                    raise DeckError("region EDGE before any box exists")
+            else:
+                bb.append(float(v) * scale)
+        self.regions[rid] = ("block", bb)
 
     def cmd_create_box(self, args):
         rid = args[1]
@@ -538,7 +569,150 @@ class DeckRunner:
             self.computes[cid] = {"style": style, "group": group,
                                   "kind": args[3]}
             return
-        if style in ("com/chunk", "gyration/chunk", "msd/chunk"):
+        if style == "property/atom":
+            # compute ID group property/atom field... — raw per-atom
+            # accessors (src/compute_property_atom.cpp); consumed like
+            # the other per-atom computes (dump custom c_ID[n], reduce)
+            fields = list(args[3:])
+            known = ("id", "mol", "type", "mass", "x", "y", "z",
+                     "xu", "yu", "zu", "ix", "iy", "iz",
+                     "vx", "vy", "vz", "fx", "fy", "fz")
+            bad = [f for f in fields if f not in known]
+            if bad or not fields:
+                raise DeckError(
+                    f"compute property/atom: unsupported fields {bad}")
+            self.computes[cid] = {"style": style, "group": group,
+                                  "fields": fields}
+            return
+        if style == "temp/partial":
+            # compute ID group temp/partial xflag yflag zflag
+            # (src/compute_temp_partial.cpp)
+            fl = [int(v) for v in args[3:6]]
+            if len(fl) != 3 or any(v not in (0, 1) for v in fl):
+                raise DeckError("compute temp/partial: xflag yflag zflag "
+                                "(0/1) required")
+            self.computes[cid] = {"style": style, "group": group,
+                                  "flags": fl}
+            return
+        if style == "temp/region":
+            # compute ID group temp/region region-ID
+            # (src/compute_temp_region.cpp: membership re-evaluated per
+            # call, dof = 3*count with no -3 — the region is open)
+            rid = args[3]
+            if rid not in self.regions:
+                raise DeckError(f"compute temp/region: undefined {rid!r}")
+            self.computes[cid] = {"style": style, "group": group,
+                                  "region": rid}
+            return
+        if style == "temp/com":
+            # COM-velocity-subtracted temperature
+            # (src/compute_temp_com.cpp)
+            self.computes[cid] = {"style": style, "group": group}
+            return
+        if style == "vacf":
+            # velocity autocorrelation vs the first call
+            # (src/compute_vacf.cpp): c_ID[1..4] = vx, vy, vz, total
+            self.computes[cid] = {"style": style, "group": group,
+                                  "v0": None}
+            return
+        if style == "group/group":
+            # pairwise lj interaction energy between two groups
+            # (src/compute_group_group.cpp, pair-only form); scalar
+            jgroup = args[3] if len(args) > 3 else None
+            if not jgroup:
+                raise DeckError("compute group/group: second group "
+                                "required")
+            self.computes[cid] = {"style": style, "group": group,
+                                  "jgroup": jgroup}
+            return
+        if style == "reduce/region":
+            # compute ID group reduce/region region-ID mode input
+            # (src/compute_reduce_region.cpp)
+            rid, mode = args[3], args[4]
+            if rid not in self.regions:
+                raise DeckError(
+                    f"compute reduce/region: undefined {rid!r}")
+            if mode not in ("sum", "min", "max", "ave"):
+                raise DeckError(f"unsupported reduce mode {mode!r}")
+            inputs = args[5:]
+            if len(inputs) != 1:
+                raise DeckError("compute reduce/region: exactly one "
+                                "input supported")
+            self.computes[cid] = {"style": style, "group": group,
+                                  "region": rid, "mode": mode,
+                                  "input": inputs[0]}
+            return
+        if style == "slice":
+            # compute ID group slice Nstart Nstop Nskip input — rows of a
+            # global vector compute (src/compute_slice.cpp, single input)
+            nstart, nstop, nskip = (int(args[3]), int(args[4]),
+                                    int(args[5]))
+            inputs = args[6:]
+            if len(inputs) != 1 or not inputs[0].startswith("c_"):
+                raise DeckError("compute slice: exactly one c_ID input "
+                                "supported")
+            self.computes[cid] = {"style": style, "group": group,
+                                  "start": nstart, "stop": nstop,
+                                  "skip": nskip, "input": inputs[0][2:]}
+            return
+        if style == "angle/local":
+            # per-angle theta/eng over the static chain triplets
+            # (src/compute_angle_local.cpp); consumed by `dump local`
+            if self.system is not None and self.system.angles is None \
+                    and self.data and not getattr(self.data, "angles",
+                                                  None):
+                pass  # validated at dump time — angles may arrive later
+            props = list(args[3:])
+            bad = [p for p in props if p not in ("theta", "eng")]
+            if bad:
+                raise DeckError(
+                    f"unsupported angle/local values {bad}")
+            self.computes[cid] = {
+                "style": style, "group": group,
+                "local_cols": props or ["theta"], "local_kind": "angle",
+            }
+            return
+        if style == "pair/local":
+            # per-pair dist/eng/force within the pair cutoff
+            # (src/compute_pair_local.cpp); consumed by `dump local`
+            props = list(args[3:])
+            bad = [p for p in props if p not in ("dist", "eng", "force")]
+            if bad:
+                raise DeckError(f"unsupported pair/local values {bad}")
+            self.computes[cid] = {
+                "style": style, "group": group,
+                "local_cols": props or ["dist"], "local_kind": "pair",
+            }
+            return
+        if style == "temp/chunk":
+            # compute ID group temp/chunk chunkID [com yes|no] — scalar
+            # temp over the chunked atoms, vector of per-chunk temps
+            # (src/compute_temp_chunk.cpp; the no-values form + com)
+            if not args[3:]:
+                raise DeckError("compute temp/chunk: chunk/atom ID "
+                                "required")
+            ccid = args[3]
+            cc = self.computes.get(ccid)
+            if cc is None or cc["style"] != "chunk/atom":
+                raise DeckError(
+                    f"compute temp/chunk: {ccid!r} is not a chunk/atom "
+                    "compute")
+            com = False
+            rest = list(args[4:])
+            while rest:
+                k = rest.pop(0)
+                if k == "com" and rest:
+                    com = rest.pop(0) == "yes"
+                else:
+                    raise DeckError(
+                        f"unsupported temp/chunk arg {k!r}")
+            self.computes[cid] = {"style": style, "group": group,
+                                  "chunk": ccid, "com": com,
+                                  "com0": None}
+            return
+        if style in ("com/chunk", "gyration/chunk", "msd/chunk",
+                     "vcm/chunk", "inertia/chunk", "angmom/chunk",
+                     "torque/chunk"):
             # per-chunk observables over a chunk/atom compute
             # (src/compute_com_chunk.cpp, compute_gyration_chunk.cpp,
             # compute_msd_chunk.cpp): global vector/array output for
@@ -597,7 +771,7 @@ class DeckRunner:
         return groups[group]
 
     _PERATOM_STYLES = ("ke/atom", "pe/atom", "stress/atom",
-                       "displace/atom", "coord/atom")
+                       "displace/atom", "coord/atom", "property/atom")
 
     def _peratom_value(self, cid, st):
         """Evaluate a per-atom compute -> (n,) or (n, k) numpy array.
@@ -643,6 +817,37 @@ class DeckRunner:
                     self.system, ex_btype=self._ex_btype(),
                     ke=spec["ke"])
             out = np.asarray(spec["fn"](st))
+        elif style == "property/atom":
+            n = self.system.n
+            x = np.asarray(st.x, np.float64)
+            xu = np.asarray(self._unwrapped(st), np.float64)
+            v = np.asarray(st.v, np.float64)
+            f = np.asarray(st.f, np.float64)
+            img = np.asarray(st.img)
+            cols = []
+            for fld in spec["fields"]:
+                if fld == "id":
+                    cols.append(np.arange(1, n + 1, dtype=np.float64))
+                elif fld == "mol":
+                    cols.append(np.asarray(self.system.molecule,
+                                           np.float64) + 1)
+                elif fld == "type":
+                    cols.append(np.asarray(st.type, np.float64) + 1)
+                elif fld == "mass":
+                    cols.append(np.asarray(self.system.masses,
+                                           np.float64)[np.asarray(st.type)])
+                elif fld in ("x", "y", "z"):
+                    cols.append(x[:, "xyz".index(fld)])
+                elif fld in ("xu", "yu", "zu"):
+                    cols.append(xu[:, "xyz".index(fld[0])])
+                elif fld in ("ix", "iy", "iz"):
+                    cols.append(img[:, "xyz".index(fld[1])].astype(
+                        np.float64))
+                elif fld in ("vx", "vy", "vz"):
+                    cols.append(v[:, "xyz".index(fld[1])])
+                else:  # fx fy fz
+                    cols.append(f[:, "xyz".index(fld[1])])
+            out = cols[0] if len(cols) == 1 else np.stack(cols, axis=1)
         else:
             raise DeckError(f"compute {cid} is not per-atom")
         sel = self._group_mask(spec["group"])
@@ -682,8 +887,128 @@ class DeckRunner:
                 raise DeckError(
                     f"c_{cid}[{idx}]: only {tabv.shape[0]} chunks")
             return float(tabv[idx - 1, 0])
+        if spec["style"] == "vacf":
+            # c_ID[1..4]: group-averaged <v(t).v(0)> per component +
+            # total since the first evaluation (src/compute_vacf.cpp)
+            v = np.asarray(st.v, np.float64)
+            if spec["v0"] is None:
+                spec["v0"] = v
+            sel = self._group_mask(spec["group"])
+            prod = v * spec["v0"]
+            if sel is not None:
+                prod = prod[np.asarray(sel)]
+            comp = prod.mean(axis=0) if prod.size else np.zeros(3)
+            vec = np.concatenate([comp, [comp.sum()]])
+            if idx is None:
+                raise DeckError(
+                    f"compute {cid} (vacf) is a vector: use c_{cid}[1..4]")
+            return float(vec[idx - 1])
+        if spec["style"] == "slice":
+            src = spec["input"]
+            scid, _ = self._parse_cref(src)
+            if scid not in self.computes:
+                raise DeckError(f"compute slice: unknown compute {src!r}")
+            tabv = np.asarray(self._compute_vector(scid, st))
+            rows = np.arange(spec["start"] - 1, spec["stop"],
+                             spec["skip"])
+            rows = rows[rows < tabv.shape[0]]
+            vec = tabv[rows]
+            vec = vec[:, 0] if vec.ndim == 2 else vec
+            if idx is None:
+                raise DeckError(
+                    f"compute {cid} (slice) is a vector: use c_{cid}[i]")
+            if not 1 <= idx <= vec.shape[0]:
+                raise DeckError(f"c_{cid}[{idx}]: slice has "
+                                f"{vec.shape[0]} rows")
+            return float(vec[idx - 1])
         if idx is not None:
             raise DeckError(f"compute {cid} has no vector output")
+        if spec["style"] in ("temp/com", "temp/partial", "temp/region"):
+            # group/region temperatures with the reference's dof
+            # conventions: temp/com subtracts the group COM velocity
+            # (compute_temp_com.cpp, dof = 3n - 3); temp/partial keeps
+            # the flagged components (compute_temp_partial.cpp,
+            # dof = nper*(n-1)); temp/region re-evaluates membership per
+            # call with dof = 3n (compute_temp_region.cpp — no -3, the
+            # region boundary is open)
+            v = np.asarray(st.v, np.float64)
+            m = np.asarray(self.system.masses,
+                           np.float64)[np.asarray(st.type)]
+            if spec["style"] == "temp/region":
+                _, bb = self.regions[spec["region"]]
+                x = np.asarray(st.x)
+                sel = ((x[:, 0] >= bb[0]) & (x[:, 0] <= bb[1])
+                       & (x[:, 1] >= bb[2]) & (x[:, 1] <= bb[3])
+                       & (x[:, 2] >= bb[4]) & (x[:, 2] <= bb[5]))
+                gm = self._group_mask(spec["group"])
+                if gm is not None:
+                    sel &= np.asarray(gm)
+            else:
+                gm = self._group_mask(spec["group"])
+                sel = (np.ones(self.system.n, bool) if gm is None
+                       else np.asarray(gm))
+            cnt = int(sel.sum())
+            if cnt == 0:
+                return 0.0
+            msel = np.where(sel, m, 0.0)
+            if spec["style"] == "temp/com":
+                vcm = (msel[:, None] * v).sum(0) / msel.sum()
+                v = v - vcm
+                dof = 3.0 * cnt - 3.0
+            elif spec["style"] == "temp/partial":
+                fl = np.asarray(spec["flags"], np.float64)
+                v = v * fl
+                nper = float(fl.sum())
+                dof = max(nper * (cnt - 1), 1.0)
+            else:
+                dof = 3.0 * cnt
+            ke2 = float(np.sum(msel * np.sum(v * v, axis=1)))
+            return ke2 / max(dof, 1.0)
+        if spec["style"] == "group/group":
+            # lj/cut interaction energy between the two groups, with
+            # special_bonds weighting (compute_group_group.cpp pair form)
+            from ..observe.pairs import (enumerate_pairs, lj_pair_values,
+                                         special_weights)
+
+            ga = self._group_mask(spec["group"])
+            gb = self._group_mask(spec["jgroup"])
+            n = self.system.n
+            ga = np.ones(n, bool) if ga is None else np.asarray(ga)
+            gb = np.ones(n, bool) if gb is None else np.asarray(gb)
+            x = np.asarray(st.x, np.float64)
+            box = np.asarray(self.system.box_size, np.float64)
+            cut = float(np.max(np.asarray(self.system.pair.cutoff)))
+            i, j, dist = enumerate_pairs(x, box, cut)
+            cross = (ga[i] & gb[j]) | (gb[i] & ga[j])
+            i, j, dist = i[cross], j[cross], dist[cross]
+            w = special_weights(self.system, st, i, j)
+            eng, _ = lj_pair_values(self.system, np.asarray(st.type),
+                                    i, j, dist)
+            return float(np.sum(w * eng))
+        if spec["style"] == "reduce/region":
+            # single-input reduction over region members
+            # (compute_reduce_region.cpp); shares the reduce input
+            # resolution below via a region-masked recursion
+            _, bb = self.regions[spec["region"]]
+            x = np.asarray(st.x)
+            sel = ((x[:, 0] >= bb[0]) & (x[:, 0] <= bb[1])
+                   & (x[:, 1] >= bb[2]) & (x[:, 1] <= bb[3])
+                   & (x[:, 2] >= bb[4]) & (x[:, 2] <= bb[5]))
+            vals = self._reduce_input_values(spec, st)
+            gm = self._group_mask(spec["group"])
+            if gm is not None:
+                sel &= np.asarray(gm)
+            vals = vals[sel]
+            if vals.size == 0:
+                return 0.0
+            mode = spec["mode"]
+            if mode == "sum":
+                return float(np.sum(vals))
+            if mode == "min":
+                return float(np.min(vals))
+            if mode == "max":
+                return float(np.max(vals))
+            return float(np.mean(vals))
         if spec["style"] == "ke":
             # group kinetic energy 0.5 sum m v^2 (compute_ke.cpp)
             m = np.asarray(self.system.masses)[np.asarray(st.type)]
@@ -723,30 +1048,7 @@ class DeckRunner:
         if spec["style"] == "pressure":
             return self.live_value("press")
         if spec["style"] == "reduce":
-            from .atomvars import ATOM_NAMES, AtomExpr
-
-            inp = spec["input"]
-            if inp.startswith("v_"):
-                name = inp[2:]
-                if name not in self.atom_vars:
-                    raise DeckError(
-                        f"compute reduce: {inp} is not an atom variable")
-                vals = self.atom_vars[name].evaluate(
-                    st, self.system, self.atom_var_scalars, self.atom_vars)
-            elif inp.startswith("c_"):
-                rcid, ridx = self._parse_cref(inp[2:])
-                if rcid not in getattr(self, "computes", {}) or \
-                        self.computes[rcid]["style"] not in \
-                        self._PERATOM_STYLES:
-                    raise DeckError(
-                        f"compute reduce: {inp} is not a per-atom compute")
-                vals = self._peratom_value(rcid, st)
-                if vals.ndim == 2:
-                    vals = vals[:, (ridx or 1) - 1]
-            elif inp in ATOM_NAMES:
-                vals = ATOM_NAMES[inp](st, self.system)
-            else:
-                raise DeckError(f"compute reduce: unknown input {inp!r}")
+            vals = self._reduce_input_values(spec, st)
             if spec["group"] != "all":
                 groups = self._resolved_groups()
                 if spec["group"] not in groups:
@@ -762,6 +1064,109 @@ class DeckRunner:
                 return float(np.max(vals))
             return float(np.mean(vals))
         raise DeckError(cid)
+
+    def _reduce_input_values(self, spec, st):
+        """Resolve a reduce/reduce-region input spec -> per-atom (n,)
+        values: v_name atom variables, c_ID[k] per-atom computes, or a
+        raw atom attribute name (compute_reduce.cpp's input kinds)."""
+        from .atomvars import ATOM_NAMES
+
+        inp = spec["input"]
+        if inp.startswith("v_"):
+            name = inp[2:]
+            if name not in self.atom_vars:
+                raise DeckError(
+                    f"compute reduce: {inp} is not an atom variable")
+            return self.atom_vars[name].evaluate(
+                st, self.system, self.atom_var_scalars, self.atom_vars)
+        if inp.startswith("c_"):
+            rcid, ridx = self._parse_cref(inp[2:])
+            if rcid not in getattr(self, "computes", {}) or \
+                    self.computes[rcid]["style"] not in \
+                    self._PERATOM_STYLES:
+                raise DeckError(
+                    f"compute reduce: {inp} is not a per-atom compute")
+            vals = self._peratom_value(rcid, st)
+            if vals.ndim == 2:
+                vals = vals[:, (ridx or 1) - 1]
+            return vals
+        if inp in ATOM_NAMES:
+            return ATOM_NAMES[inp](st, self.system)
+        raise DeckError(f"compute reduce: unknown input {inp!r}")
+
+    def _angle_local_table(self, cols, group, st):
+        """(M, k) per-angle values for dump local — theta in degrees +
+        eng, over the static chain triplets (compute_angle_local.cpp;
+        triplets whose three atoms sit in the compute's group)."""
+        sy = self.system
+        if sy.angle_center_type is None or sy.angles is None:
+            return np.zeros((0, len(cols)))
+        act = np.asarray(sy.angle_center_type)
+        ctr = np.nonzero(act >= 0)[0]
+        ctr = ctr[(ctr > 0) & (ctr < sy.n - 1)]
+        sel = self._group_mask(group)
+        if sel is not None:
+            sel = np.asarray(sel)
+            ctr = ctr[sel[ctr - 1] & sel[ctr] & sel[ctr + 1]]
+        x = np.asarray(st.x, np.float64)
+        box = np.asarray(sy.box_size, np.float64)
+        d1 = x[ctr - 1] - x[ctr]
+        d2 = x[ctr + 1] - x[ctr]
+        d1 -= box * np.round(d1 / box)
+        d2 -= box * np.round(d2 / box)
+        r1 = np.sqrt(np.sum(d1 * d1, axis=1))
+        r2 = np.sqrt(np.sum(d2 * d2, axis=1))
+        c = np.clip(np.sum(d1 * d2, axis=1)
+                    / np.maximum(r1 * r2, 1e-12), -1.0, 1.0)
+        theta = np.arccos(c)
+        out = []
+        for col in cols:
+            if col == "theta":
+                out.append(np.degrees(theta))
+            else:  # eng
+                from ..system import ANGLE_HARMONIC
+
+                t = act[ctr]
+                k = np.asarray(sy.angles.coeffs, np.float64)[t, 0]
+                t0 = np.asarray(sy.angles.coeffs, np.float64)[t, 1]
+                harm = np.asarray(sy.angles.style)[t] == ANGLE_HARMONIC
+                dth = theta - t0
+                out.append(np.where(harm, k * dth * dth,
+                                    k * (1.0 + c)))
+        return np.column_stack(out) if out else np.zeros((len(ctr), 0))
+
+    def _pair_local_table(self, cols, group, st):
+        """(M, k) per-pair dist/eng/force within the pair cutoff
+        (compute_pair_local.cpp; pairs with both atoms in the group,
+        special-weight-0 pairs skipped as the pair style would)."""
+        from ..observe.pairs import (enumerate_pairs, lj_pair_values,
+                                     special_weights)
+
+        sy = self.system
+        x = np.asarray(st.x, np.float64)
+        box = np.asarray(sy.box_size, np.float64)
+        cut = float(np.max(np.asarray(sy.pair.cutoff)))
+        i, j, dist = enumerate_pairs(x, box, cut)
+        sel = self._group_mask(group)
+        if sel is not None:
+            sel = np.asarray(sel)
+            keep = sel[i] & sel[j]
+            i, j, dist = i[keep], j[keep], dist[keep]
+        w = special_weights(sy, st, i, j)
+        live = w != 0.0
+        i, j, dist, w = i[live], j[live], dist[live], w[live]
+        need = [c for c in cols if c in ("eng", "force")]
+        if need:
+            eng, frc = lj_pair_values(sy, np.asarray(st.type), i, j, dist)
+        out = []
+        for col in cols:
+            if col == "dist":
+                out.append(dist)
+            elif col == "eng":
+                out.append(w * eng)
+            else:
+                out.append(w * frc)
+        return np.column_stack(out) if out else np.zeros((i.shape[0], 0))
 
     def _chunk_ids(self, ccid, st):
         """Per-atom chunk ids for a chunk/atom compute: (ids, nchunk)
@@ -803,6 +1208,55 @@ class DeckRunner:
             rg2 = np.bincount(idc, weights=mw * d2,
                               minlength=nchunk) / mtot
             return np.sqrt(rg2)[:, None]
+        if spec["style"] == "vcm/chunk":
+            # per-chunk COM velocity (src/compute_vcm_chunk.cpp)
+            v = np.asarray(st.v, np.float64)
+            return np.stack([
+                np.bincount(idc, weights=mw * v[:, c], minlength=nchunk)
+                for c in range(3)], axis=1) / mtot[:, None]
+        if spec["style"] == "inertia/chunk":
+            # [Ixx Iyy Izz Ixy Iyz Ixz] about each chunk COM
+            # (src/compute_inertia_chunk.cpp column order)
+            d = xu - com[idc]
+            cols = [d[:, 1] ** 2 + d[:, 2] ** 2,
+                    d[:, 0] ** 2 + d[:, 2] ** 2,
+                    d[:, 0] ** 2 + d[:, 1] ** 2,
+                    -d[:, 0] * d[:, 1], -d[:, 1] * d[:, 2],
+                    -d[:, 0] * d[:, 2]]
+            return np.stack([
+                np.bincount(idc, weights=mw * cc, minlength=nchunk)
+                for cc in cols], axis=1)
+        if spec["style"] in ("angmom/chunk", "torque/chunk"):
+            # L = sum m (r - com) x v / T = sum (r - com) x f
+            # (src/compute_angmom_chunk.cpp, compute_torque_chunk.cpp)
+            d = xu - com[idc]
+            if spec["style"] == "angmom/chunk":
+                w = np.asarray(st.v, np.float64) * mw[:, None]
+            else:
+                w = np.asarray(st.f, np.float64) * np.where(
+                    ok, 1.0, 0.0)[:, None]
+            crs = np.cross(d, w)
+            return np.stack([
+                np.bincount(idc, weights=crs[:, c], minlength=nchunk)
+                for c in range(3)], axis=1)
+        if spec["style"] == "temp/chunk":
+            # per-chunk temperature, optionally with the chunk COM
+            # velocity removed (src/compute_temp_chunk.cpp com yes):
+            # dof = 3*count - 3*com
+            v = np.asarray(st.v, np.float64)
+            if spec["com"]:
+                vcm = np.stack([
+                    np.bincount(idc, weights=mw * v[:, c],
+                                minlength=nchunk)
+                    for c in range(3)], axis=1) / mtot[:, None]
+                v = v - vcm[idc]
+            ke2 = np.bincount(idc, weights=mw * np.sum(v * v, axis=1),
+                              minlength=nchunk)
+            cnt = np.bincount(idc, weights=np.where(ok, 1.0, 0.0),
+                              minlength=nchunk)
+            dof = np.maximum(3.0 * cnt - (3.0 if spec["com"] else 0.0),
+                             1.0)
+            return (ke2 / dof)[:, None]
         # msd/chunk: COM displacement since the compute's first call
         if spec["com0"] is None or spec["com0"].shape != com.shape:
             spec["com0"] = com
@@ -810,7 +1264,9 @@ class DeckRunner:
         return np.column_stack([d[:, 0] ** 2, d[:, 1] ** 2, d[:, 2] ** 2,
                                 np.sum(d * d, axis=1)])
 
-    _CHUNK_STYLES = ("com/chunk", "gyration/chunk", "msd/chunk")
+    _CHUNK_STYLES = ("com/chunk", "gyration/chunk", "msd/chunk",
+                     "vcm/chunk", "inertia/chunk", "angmom/chunk",
+                     "torque/chunk", "temp/chunk")
 
     def _compute_vector(self, cid, st):
         """Global VECTOR computes (one snapshot): rdf -> (nbins, 4) rows
@@ -923,12 +1379,15 @@ class DeckRunner:
         did, group, style, every, path = args[0], args[1], args[2], int(args[3]), args[4]
         fields = args[5:]
         local_cols = None
+        local_rows = None
         if style == "local" and fields:
-            # resolve c_ID[k] columns against property/local and bond/local
-            # computes (src/dump_local.cpp reads the computes' local array)
+            # resolve c_ID[k] columns against property/local, bond/local,
+            # angle/local and pair/local computes (src/dump_local.cpp
+            # reads the computes' local array)
             import re as _re
 
             local_cols = []
+            kinds = set()
             for fld in fields:
                 m = _re.fullmatch(r"c_(\w+)\[(\d+)\]", fld)
                 if not m:
@@ -937,13 +1396,30 @@ class DeckRunner:
                 spec = getattr(self, "computes", {}).get(m.group(1))
                 if spec is None or "local_cols" not in spec:
                     raise DeckError(f"dump local: {fld!r} references no "
-                                    "property/local or bond/local compute")
+                                    "*/local compute")
                 cols = spec["local_cols"] or ["btype", "batom1", "batom2"]
                 k = int(m.group(2)) - 1
                 if not 0 <= k < len(cols):
                     raise DeckError(f"dump local: {fld!r} column out of "
                                     f"range (compute has {len(cols)})")
                 local_cols.append(cols[k])
+                kinds.add((spec.get("local_kind"), spec["group"]))
+            if len(kinds) > 1:
+                raise DeckError(
+                    "dump local: all columns must come from computes of "
+                    "one local family (the reference's equal-length-array "
+                    "requirement, dump_local.cpp)")
+            kind, cgroup = kinds.pop()
+            if kind == "angle":
+                runner, cols_c = self, list(local_cols)
+
+                def local_rows(st, sy, cols_c=cols_c, cgroup=cgroup):
+                    return runner._angle_local_table(cols_c, cgroup, st)
+            elif kind == "pair":
+                runner, cols_c = self, list(local_cols)
+
+                def local_rows(st, sy, cols_c=cols_c, cgroup=cgroup):
+                    return runner._pair_local_table(cols_c, cgroup, st)
         atom_cols = None
         if style in ("atom", "custom"):
             # v_name columns resolve against atom-style variables,
@@ -986,6 +1462,7 @@ class DeckRunner:
             DumpSpec(id=did, style=style, every=every,
                      path=os.path.join(self.root, path), fields=fields,
                      local_cols=local_cols, atom_cols=atom_cols,
+                     local_rows=local_rows,
                      ex_btype=max(self._ex_btype(), 1))
         )
 

@@ -29,6 +29,10 @@ class DumpSpec:
     # atom-style variable columns: 'v_name' -> (state, system) -> (N,)
     # (src/dump_custom.cpp parse_fields, the v_ case)
     atom_cols: Optional[dict] = None
+    # generalized 'local' source: (state, system) -> (M, k) ndarray for
+    # angle/local & pair/local computes (src/compute_angle_local.cpp,
+    # src/compute_pair_local.cpp); None = the bond-list default
+    local_rows: object = None
     _fh: object = None
 
     def open(self):
@@ -51,6 +55,21 @@ def write_frame(spec: DumpSpec, state, system):
     n = system.n
     x = np.asarray(state.x)
     step = int(state.step)
+    if spec.style == "local" and spec.local_rows is not None:
+        # angle/local & pair/local frames: the runner-supplied callable
+        # yields the already-column-ordered (M, k) value table
+        rows = np.asarray(spec.local_rows(state, system))
+        fh.write("ITEM: TIMESTEP\n%d\n" % step)
+        fh.write("ITEM: NUMBER OF ENTRIES\n%d\n" % rows.shape[0])
+        fh.write("ITEM: BOX BOUNDS pp pp pp\n")
+        for lo, hi in zip(system.box_lo, system.box_hi):
+            fh.write(f"{lo:.6g} {hi:.6g}\n")
+        fh.write("ITEM: ENTRIES " + " ".join(
+            spec.fields or [f"c_l[{k+1}]" for k in range(rows.shape[1])])
+            + "\n")
+        np.savetxt(fh, rows, fmt="%.8g")
+        fh.flush()
+        return
     if spec.style == "local":
         # bond list frames (reference: compute property/local btype batom1
         # batom2 + dump local, src/compute_property_local.cpp +
