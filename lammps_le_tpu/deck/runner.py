@@ -1512,6 +1512,41 @@ class DeckRunner:
             self.fixes_host = getattr(self, "fixes_host", {})
             self.fixes_host[fid] = av
             return
+        elif style == "ave/chunk":
+            # fix ID group ave/chunk Nevery Nrepeat Nfreq chunkID
+            # value... [file f] (src/fix_ave_chunk.cpp, norm all)
+            from .avechunk import AveChunk
+
+            nevery, nrepeat, nfreq = (int(v) for v in rest[0:3])
+            ccid = rest[3]
+            cc = getattr(self, "computes", {}).get(ccid)
+            if cc is None or cc["style"] != "chunk/atom":
+                raise DeckError(
+                    f"fix ave/chunk: {ccid!r} is not a chunk/atom "
+                    "compute")
+            vals = []
+            path = "ave.chunk"
+            tail = list(rest[4:])
+            while tail:
+                k = tail.pop(0)
+                if k == "file" and tail:
+                    path = tail.pop(0)
+                elif k == "norm" and tail:
+                    if tail.pop(0) != "all":
+                        raise DeckError(
+                            "fix ave/chunk: only norm all supported")
+                else:
+                    vals.append(k)
+            try:
+                av = AveChunk(self, fid, nevery, nrepeat, nfreq, ccid,
+                              vals, os.path.join(self.root, path),
+                              group=group)
+            except ValueError as e:
+                raise DeckError(str(e)) from None
+            self.dumps.append(av)
+            self.fixes_host = getattr(self, "fixes_host", {})
+            self.fixes_host[fid] = av
+            return
         elif style == "langevin":
             kw = dict(zero=False)
             tail = list(rest[4:])

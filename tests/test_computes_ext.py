@@ -279,3 +279,26 @@ run 2
     got = r._compute_value("s2", st, idx=2)
     # rows 2, 6, 10 (1-based start 2 skip 4): idx 2 -> row 6, col 0
     assert abs(got - tab[5, 0]) < 1e-12
+
+
+def test_fix_ave_chunk(tmp_path):
+    td = str(tmp_path)
+    r = _run(td, """
+compute cc all chunk/atom type
+fix ac all ave/chunk 2 2 4 cc vx c_ke1 file chunk.out
+compute ke1 all ke/atom
+timestep 0.005
+run 8
+""", pre="compute ke1b all ke/atom\n")
+    out = open(os.path.join(td, "chunk.out")).read()
+    lines = [l for l in out.splitlines() if not l.startswith("#")]
+    # two Nfreq blocks (steps 4 and 8), each: header + nchunk rows
+    heads = [l for l in lines if len(l.split()) == 3]
+    assert len(heads) == 2
+    step, nchunk, total = heads[0].split()
+    assert int(step) == 4
+    assert float(total) == r.system.n
+    rows = [l.split() for l in lines if len(l.split()) == 4]
+    assert len(rows) == 2 * int(nchunk)
+    # per-chunk mean vx of the window should be a finite number
+    assert all(np.isfinite(float(c)) for row in rows for c in row)
