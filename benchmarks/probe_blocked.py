@@ -105,7 +105,11 @@ def parity(n_beads: int):
               flush=True)
 
 
-def bench(n_beads: int, nmeas: int):
+def bench(n_beads: int, nmeas: int, n_springs: int = 0):
+    """NVE+Langevin stepping cost; ``n_springs`` seeds that many live
+    extruder springs (chain-adjacent sites, config6's pattern) WITHOUT
+    any LE event fixes — isolates the steady-state spring-force +
+    retable cost from the event machinery at scale."""
     import jax
     import jax.numpy as jnp
 
@@ -117,7 +121,17 @@ def bench(n_beads: int, nmeas: int):
     from lammps_le_tpu.fixes import NVE, Langevin
     from lammps_le_tpu.integrate import Simulation
 
-    system, state, _ = build(n_beads)
+    system, state, _ = build(
+        n_beads, max_ex=max(1024, 1 << (n_springs + 256).bit_length()))
+    if n_springs:
+        e = state.ex_left.shape[0]
+        sites = np.arange(n_springs) * (n_beads // n_springs) + 1
+        left = np.full(e, -1, np.int32)
+        right = np.full(e, -1, np.int32)
+        left[:n_springs] = sites
+        right[:n_springs] = sites + 2
+        state = state.replace(ex_left=jnp.asarray(left),
+                              ex_right=jnp.asarray(right))
     sim = Simulation(
         system=system, dt=0.006, energy_every=max(nmeas, 100),
         fixes=(NVE(),
@@ -156,7 +170,10 @@ def main():
         i = args.index("--bench")
         n = int(float(args[i + 1])) if len(args) > i + 1 else 1_000_000
         steps = int(args[i + 2]) if len(args) > i + 2 else 100
-        bench(n, steps)
+        ns = 0
+        if "--springs" in args:
+            ns = int(float(args[args.index("--springs") + 1]))
+        bench(n, steps, n_springs=ns)
     else:
         print(__doc__)
 
