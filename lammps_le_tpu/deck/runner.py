@@ -728,6 +728,32 @@ class DeckRunner:
             self.computes[cid] = {"style": style, "group": group,
                                   "chunk": ccid, "com0": None}
             return
+        if style in ("bond", "angle", "pair"):
+            # global per-style energy computes (src/compute_bond.cpp,
+            # compute_angle.cpp, compute_pair.cpp): c_ID[n] = nth
+            # sub-style energy re-evaluated at the current state (bond
+            # hybrid order: [backbone style, extruder harmonic]); bare
+            # c_ID = the sum (our extension — the reference exposes only
+            # the vector; the sum equals its thermo ebond/eangle/epair
+            # components)
+            spec = {"style": style, "group": group}
+            rest = list(args[3:])
+            if style == "pair":
+                if not rest:
+                    raise DeckError("compute pair: pair style name "
+                                    "required (compute_pair.cpp)")
+                pname = rest.pop(0)
+                if pname != "lj/cut":
+                    raise DeckError(
+                        f"compute pair: unrecognized pair style {pname!r}"
+                        " (this engine runs pair_style lj/cut)")
+                if rest and rest[0] not in ("evdwl", "epair"):
+                    raise DeckError(
+                        f"unsupported compute pair arg {rest[0]!r}")
+            elif rest:
+                raise DeckError(f"unsupported compute {style} args {rest}")
+            self.computes[cid] = spec
+            return
         if style not in ("gyration", "msd", "temp", "pressure", "ke",
                          "pe", "com"):
             raise DeckError(f"unsupported compute style {style}")
@@ -920,6 +946,15 @@ class DeckRunner:
             if not 1 <= idx <= vec.shape[0]:
                 raise DeckError(f"c_{cid}[{idx}]: slice has "
                                 f"{vec.shape[0]} rows")
+            return float(vec[idx - 1])
+        if spec["style"] in ("bond", "angle", "pair"):
+            vec = self._style_energy_vector(spec["style"], st)
+            if idx is None:
+                return float(np.sum(vec))
+            if not 1 <= idx <= len(vec):
+                raise DeckError(
+                    f"c_{cid}[{idx}]: compute {spec['style']} has "
+                    f"{len(vec)} sub-style energies")
             return float(vec[idx - 1])
         if idx is not None:
             raise DeckError(f"compute {cid} has no vector output")
@@ -1267,6 +1302,40 @@ class DeckRunner:
     _CHUNK_STYLES = ("com/chunk", "gyration/chunk", "msd/chunk",
                      "vcm/chunk", "inertia/chunk", "angmom/chunk",
                      "torque/chunk", "temp/chunk")
+
+    def _style_energy_vector(self, style, st):
+        """Per-sub-style energy vector for compute bond/angle/pair.
+
+        Re-evaluates the bonded terms at the CURRENT positions (the
+        reference extracts the per-style tallies of the last force
+        evaluation, compute_bond.cpp:60-90; re-evaluation is exact for
+        these analytic styles and avoids plumbing split tallies through
+        the fused kernel).  Bond order: [backbone style, extruder
+        harmonic] when an extruder bond type exists.
+        """
+        from ..ops import bond as bond_ops
+
+        if style == "pair":
+            return np.asarray([float(st.epair)])
+        x = st.x
+        if style == "angle":
+            if (self.system.angles is None
+                    or self.system.angle_center_type is None):
+                return np.asarray([0.0])
+            from ..ops.angle import chain_angle_force
+
+            _, ea = chain_angle_force(x, self.system, energy=True)
+            return np.asarray([float(ea)])
+        vec = []
+        if self.system.bonds is not None:
+            _, eb, _ = bond_ops.backbone_bond_force(x, self.system)
+            vec.append(float(eb))
+        ex_btype = self._ex_btype()  # 1-based; ops take 0-based
+        if ex_btype > 0 and st.ex_left is not None:
+            _, ee, _ = bond_ops.extruder_bond_force(
+                x, st.ex_left, st.ex_right, ex_btype - 1, self.system)
+            vec.append(float(ee))
+        return np.asarray(vec if vec else [0.0])
 
     def _compute_vector(self, cid, st):
         """Global VECTOR computes (one snapshot): rdf -> (nbins, 4) rows
@@ -1619,7 +1688,13 @@ class DeckRunner:
                     # triplets, outside this engine's implicit-chain angle
                     # encoding (static chain angles ARE supported:
                     # ops/angle.py).  LE decks never use the hook; a
-                    # nonzero value is a documented non-goal (SURVEY).
+                    # nonzero value is a documented non-goal (SURVEY) —
+                    # and the reference's own hook is defective under
+                    # extrusion: created angles anchor at the load-time
+                    # endpoints, extrusion walks the bond without
+                    # touching angles, and ex_unload only breaks angles
+                    # matching the CURRENT endpoints, so nangles leaks
+                    # monotonically (VALIDATION.md defect 3).
                     if int(rest[i + 1]) != 0:
                         raise DeckError(
                             "ex_load atype/dtype/itype: dynamic angle/"

@@ -302,3 +302,112 @@ run 8
     assert len(rows) == 2 * int(nchunk)
     # per-chunk mean vx of the window should be a finite number
     assert all(np.isfinite(float(c)) for row in rows for c in row)
+
+
+def test_compute_bond_pair_energy(tmp_path):
+    """compute bond / compute pair global energy vectors
+    (src/compute_bond.cpp, compute_pair.cpp): per-sub-style energies
+    that sum to the engine's ebond/epair tallies."""
+    from lammps_le_tpu.io.data import DataFile, write_data
+    from lammps_le_tpu.scene import serpentine
+
+    td = str(tmp_path)
+    data = serpentine(120, seed=11, n_atom_types=4, n_bond_types=2)
+    # pre-seed two extruder (non-consecutive, type-2) bonds
+    extra = np.array([[1, 10, 14], [1, 40, 46]])
+    data = DataFile(
+        n_atoms=data.n_atoms, n_bonds=data.n_bonds + 2,
+        n_atom_types=4, n_bond_types=2, box_lo=data.box_lo,
+        box_hi=data.box_hi, masses=data.masses, x=data.x, v=None,
+        types=data.types, molecule=data.molecule, image=data.image,
+        bonds=np.concatenate([np.asarray(data.bonds), extra], axis=0),
+    )
+    write_data(os.path.join(td, "data.tiny"), data)
+    deck = """
+units lj
+atom_style bond
+special_bonds fene
+read_data data.tiny
+neighbor 0.3 bin
+bond_style hybrid
+bond_coeff 1 fene 30.0 1.5 1.0 1.0
+bond_coeff 2 harmonic 10.0 1.1
+pair_style lj/cut 1.12
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
+fix 1 all nve
+compute eb all bond
+compute ep all pair lj/cut
+timestep 0.005
+run 4
+"""
+    path = os.path.join(td, "in.eb")
+    with open(path, "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(path)
+    st = r.state
+    vec = r._style_energy_vector("bond", st)
+    # hybrid deck: [fene backbone, harmonic extruder]
+    assert len(vec) == 2
+    total = r._compute_value("eb", st)
+    assert abs(total - (vec[0] + vec[1])) < 1e-6
+    # re-evaluated bonded energy matches the step's ebond tally
+    ref = float(st.ebond)
+    assert abs(total - ref) < 1e-3 * max(1.0, abs(ref))
+    assert r._compute_value("eb", st, idx=1) == float(vec[0])
+    assert r._compute_value("eb", st, idx=2) == float(vec[1])
+    # compute pair returns the last pair-energy evaluation
+    assert abs(r._compute_value("ep", st) - float(st.epair)) < 1e-9
+
+
+def test_compute_angle_energy(tmp_path):
+    """compute angle (src/compute_angle.cpp): chain bending energy."""
+    import os
+
+    from lammps_le_tpu.io.data import DataFile, write_data
+    from lammps_le_tpu.scene import serpentine
+
+    td = str(tmp_path)
+    data = serpentine(60, seed=7, n_atom_types=1, n_bond_types=1)
+    a = np.arange(1, 59)
+    data = DataFile(
+        n_atoms=data.n_atoms, n_bonds=data.n_bonds, n_atom_types=1,
+        n_bond_types=1, box_lo=data.box_lo, box_hi=data.box_hi,
+        masses=data.masses, x=data.x, v=None, types=data.types,
+        molecule=data.molecule, image=data.image, bonds=data.bonds,
+        n_angles=len(a), n_angle_types=1,
+        angles=np.stack([np.zeros_like(a), a - 1, a, a + 1], axis=1),
+    )
+    write_data(os.path.join(td, "data.ang"), data)
+    deck = """
+units lj
+atom_style angle
+special_bonds fene
+read_data data.ang
+neighbor 0.3 bin
+bond_style fene
+bond_coeff 1 30.0 1.5 1.0 1.0
+angle_style cosine
+angle_coeff 1 5.0
+pair_style lj/cut 1.12
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
+fix 1 all nve
+compute ea all angle
+timestep 0.004
+run 3
+"""
+    path = os.path.join(td, "in.ang")
+    with open(path, "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(path)
+    st = r.state
+    from lammps_le_tpu.ops.angle import chain_angle_force
+    import jax.numpy as jnp
+
+    _, ea = chain_angle_force(jnp.asarray(st.x), r.system, energy=True)
+    got = r._compute_value("ea", st)
+    assert abs(got - float(ea)) < 1e-6
+    assert got == r._compute_value("ea", st, idx=1)
