@@ -1428,7 +1428,14 @@ class DeckRunner:
         row = thermo_row(st, self.system)
         if key == "temp":
             return float(row.temp)
-        if key in ("epair", "ebond", "emol", "ke", "etotal"):
+        if key in ("eangle", "ebond"):
+            # split the lumped bond+angle tally like thermo.cpp does
+            ea = 0.0
+            if self.system.angle_center_type is not None:
+                ea = float(self._style_energy_vector("angle", st)[0])
+            val = ea if key == "eangle" else float(row.ebond) - ea
+            return val * norm
+        if key in ("epair", "emol", "ke", "etotal"):
             k = "ebond" if key == "emol" else key
             return float(getattr(row, k)) * norm
         if key == "pe":
@@ -2010,12 +2017,18 @@ class DeckRunner:
         # honor thermo_style custom columns (reference: thermo.cpp keyword
         # list); LAMMPS keyword -> internal field
         keymap = {"step": "step", "temp": "temp", "epair": "epair",
-                  "emol": "ebond", "ebond": "ebond", "etotal": "etotal",
+                  "emol": "ebond", "ebond": "ebond_only",
+                  "eangle": "eangle", "etotal": "etotal",
                   "ke": "ke", "press": "press", "pe": "pe",
                   "extruders": "n_extruders", "vol": "vol",
                   "density": "density"}
+        # internal "ebond" is the engine's lumped bond+angle tally
+        # (thermo emol, the reference's E_mol aggregation); the ebond /
+        # eangle KEYWORDS split it per thermo.cpp by re-evaluating the
+        # analytic angle term at the row's state
         names = {"step": "Step", "temp": "Temp", "epair": "E_pair",
-                 "ebond": "E_mol", "etotal": "TotEng", "ke": "KinEng",
+                 "ebond": "E_mol", "ebond_only": "E_bond",
+                 "eangle": "E_angle", "etotal": "TotEng", "ke": "KinEng",
                  "press": "Press", "pe": "PotEng", "vol": "Volume",
                  "density": "Density", "n_extruders": "Extruders"}
         # f_ID[n] fix vectors: LE fixes expose their event counters the way
@@ -2116,6 +2129,15 @@ class DeckRunner:
                     continue
                 if c == "pe":
                     fv = (float(vals["epair"]) + float(vals["ebond"])) * norm
+                    txt.append(f"{fv:>12.6g}")
+                    continue
+                if c in ("eangle", "ebond_only"):
+                    ea = 0.0
+                    if (st is not None
+                            and self.system.angle_center_type is not None):
+                        ea = float(self._style_energy_vector("angle", st)[0])
+                    fv = (ea if c == "eangle"
+                          else float(vals["ebond"]) - ea) * norm
                     txt.append(f"{fv:>12.6g}")
                     continue
                 if c.startswith("c_"):

@@ -411,3 +411,9 @@ run 3
     got = r._compute_value("ea", st)
     assert abs(got - float(ea)) < 1e-6
     assert got == r._compute_value("ea", st, idx=1)
+    # thermo keyword split: emol = ebond + eangle (thermo.cpp)
+    lv_ea = r.live_value("eangle")
+    lv_eb = r.live_value("ebond")
+    lv_em = r.live_value("emol")
+    assert abs(lv_ea - float(ea) / r.system.n) < 1e-9
+    assert abs((lv_eb + lv_ea) - lv_em) < 1e-6
