@@ -109,8 +109,13 @@ class DeckRunner:
             # `newton`: bond storage convention — our topology is
             # storage-free (full incidence via chain arrays + table), both
             # settings map to identical physics
+            # `balance`: static load balancing (src/balance.cpp) — the
+            # dense halo grid + uniform cell slabs are load-balanced by
+            # construction (equal lanes per device, no per-rank atom
+            # counts), so the command is accepted and has nothing to do
             noop = {"comm_modify", "comm_style", "atom_modify", "processors",
-                    "suffix", "package", "echo", "info", "shell", "newton"}
+                    "suffix", "package", "echo", "info", "shell", "newton",
+                    "balance"}
             if name in noop:
                 return
             raise DeckError(f"unsupported command: {raw or name}")
@@ -1726,6 +1731,11 @@ class DeckRunner:
                     raise DeckError(f"unsupported ex_unload keyword {rest[i]}")
             fix = ExUnload(nevery=int(rest[0]), btype=int(rest[1]),
                            cutoff=float(rest[2]), group=g, **kw)
+        elif style == "balance":
+            # fix balance (src/fix_balance.cpp): accepted, nothing to do —
+            # same rationale as the `balance` command no-op (uniform cell
+            # slabs are balanced by construction)
+            return
         else:
             # registered extension styles (fixes/registry.py — the
             # add_fix factory fallback, modify.cpp:789)
