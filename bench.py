@@ -3,20 +3,47 @@
 Measures the BASELINE.json primary metric — bead*steps/sec per chip on a
 100k-bead chromosome with active loop extrusion (extrusion + ex_load +
 ex_unload, hundreds of extruders) — on the grid-resident fast engine
-(lammps_le_tpu.fast), sweeping the vmapped replica-ensemble axis
-(BASELINE config 5) and reporting the best aggregate.  Prints ONE JSON
-line.
+(lammps_le_tpu.fast).  Prints ONE JSON line, ALWAYS.
 
 ``vs_baseline`` is relative to the only committed reference measurement:
 the 32k-bead FENE chain bench at 102.286 steps/s = 3.273e6 bead*steps/s on
 one 2016 CPU core (reference: bench/log.6Oct16.chain.fixed.icc.1:52).
 
+Architecture (round 5 — "the bench must be unloseable"):
+
+  supervisor (this process, no args)
+  ├─ SIGALRM dead-man's switch: even if the supervisor itself wedges,
+  │  a JSON line is emitted before the driver's timeout
+  ├─ tunnel probe  (subprocess, bounded, budget-aware retries)
+  ├─ pallas probe  (subprocess = ``--probe``: the EXACT bench path at
+  │  tiny step counts; phase-aware watchdog; leaves compiles cached)
+  └─ measurement   (subprocess = ``--inner``) under a PER-PHASE watchdog:
+       the inner prints BENCH_MARK/BENCH_TICK/BENCH_TIME progress lines;
+       each phase has a kill budget (~15x healthy history) and a
+       degraded threshold (~10x healthy history, the PERF_NOTES
+       post-reboot rule).  A killed or degraded attempt is retried after
+       a worker-recycle wait, within the overall wall budget.  Whatever
+       the best attempt produced is ALWAYS printed as the final JSON
+       line (healthy/degraded/failed annotated in ``detail``).
+
+The reference always prints its Performance/timing block even on short
+or imperfect runs (src/finish.cpp:61-155); this harness extends that
+contract to every failure mode the axon tunnel has produced so far
+(wedged backend init, poisoned post-reboot worker, mid-run worker
+crash, VMEM compile OOM).
+
 Usage: python bench.py [--quick]
+Env:   LLE_BENCH_BUDGET   overall wall budget in seconds (default 2700)
+       LLE_BENCH_PROBE=0  skip tunnel+pallas probes (trust the env)
+       LLE_PALLAS_STEP=0  force the XLA-chain fallback engine
+       LLE_BENCH_FAULT    fault injection for harness self-tests
+                          (hang_thermalize | die_settle)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -24,140 +51,326 @@ import numpy as np
 
 BASELINE_BEAD_STEPS = 32000 * 102.286  # reference chain bench, 1 core
 
+# healthy-history phase times in seconds (PERF_NOTES round-4 scoreboard:
+# thermalize 15.8 s incl. cached compile, settle 6-7.4 s, measure ~12 s
+# for 1540 steps at 4.5 ms + chunk syncs).  Degraded = 10x history (the
+# PERF_NOTES post-reboot rule: 110-204 s thermalize/settle runs measured
+# 2.5-17.5 M on a build that measures 22.11 M healthy); kill = ~15x.
+_HEALTHY = {"startup": 45.0, "thermalize": 16.0, "settle": 8.0,
+            "measure": 15.0}
+_DEGRADED_X = 10.0
+_KILL_X = 15.0
+_PHASE_FLOOR = {"startup": 420.0, "thermalize": 240.0, "settle": 120.0,
+                "measure": 300.0}
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _pallas_hw_probe() -> bool:
-    """Probe the fused kernel in a SUBPROCESS before this process touches
-    the TPU: an on-device Mosaic hang (round 2's stencil kernel deadlocked
-    despite green interpret-mode parity) must cost the probe, not the
-    benchmark.  The probe is ``bench.py --probe`` — the EXACT bench code
-    path at tiny step counts — so (a) the VMEM-OOM/compile failure modes
-    of the REAL 100k geometry surface here, not mid-benchmark, and (b) a
-    successful probe leaves every Mosaic/XLA compile in the persistent
-    cache (compile_cache), making the main run's compiles ~free.
+def _emit(value, vs, detail, code=0):
+    print(json.dumps({
+        "metric": "bead_steps_per_sec_per_chip_100k_le",
+        "value": value,
+        "unit": "bead*steps/s",
+        "vs_baseline": vs,
+        "detail": detail,
+    }), flush=True)
+    sys.exit(code)
+
+
+# --------------------------------------------------------------------------
+# probes (subprocesses that shield the supervisor from a wedged backend)
+# --------------------------------------------------------------------------
+
+def _tunnel_probe(deadline: float) -> bool:
+    """Tunnel-wedge insurance: the axon tunnel can wedge for hours after
+    an OOM-crashed worker, and a wedged tunnel HANGS ``jax.devices()``
+    (backend init never returns — CLAUDE.md).  Probe device discovery in
+    a bounded SUBPROCESS before anything imports jax; retry while budget
+    remains, then fail fast so the driver records an error instead of a
+    hung benchmark."""
+    import subprocess
+
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                timeout=min(120, max(10, deadline - time.time())),
+                capture_output=True, text=True)
+            if p.returncode == 0:
+                return True
+            log(f"tunnel probe rc={p.returncode}: {p.stderr[-500:]}")
+        except subprocess.TimeoutExpired:
+            log(f"tunnel probe attempt {attempt} timed out (wedged tunnel?)")
+        if time.time() + 150 > deadline:
+            return False
+        time.sleep(120)
+
+
+def _pallas_hw_probe(deadline: float) -> bool:
+    """Probe the fused kernel in a SUBPROCESS before the measurement
+    touches the TPU: an on-device Mosaic hang (round 2's stencil kernel
+    deadlocked despite green interpret-mode parity) must cost the probe,
+    not the benchmark.  The probe is ``bench.py --probe`` — the EXACT
+    bench code path at tiny step counts — so (a) the VMEM-OOM/compile
+    failure modes of the REAL 100k geometry surface here, not
+    mid-benchmark, and (b) a successful probe leaves every Mosaic/XLA
+    compile in the persistent cache (compile_cache), making the main
+    run's compiles ~free.
 
     A flat timeout cannot distinguish "cold remote Mosaic compile, be
     patient" (~2-5 min per kernel, serialized through the tunnel's
     compile helper) from "kernel hung on device" (what the probe exists
-    to catch).  So the watchdog is PHASE-AWARE: the probe prints
-    PROBE_PHASE lines as it moves through the bench stages; each phase
-    may take up to the compile-inclusive budget, but the probe dies the
-    moment any single phase stalls past it.  Returns True when PROBE_OK
-    was printed and the process exited 0."""
+    to catch).  So the watchdog is PHASE-AWARE: each PROBE_PHASE line
+    resets the deadline."""
+    rc, _, _, tail, why, saw_ok = _watch_child(
+        [sys.executable, os.path.abspath(__file__), "--probe"],
+        phase_prefix="PROBE_PHASE", ok_token="PROBE_OK",
+        first_budget=600.0, phase_budget=900.0,
+        hard_deadline=deadline, budgets=None)
+    ok = saw_ok and rc == 0
+    if not ok:
+        log(f"pallas probe failed (rc={rc}, {why}):\n"
+            f"{tail[-3000:]}\nfalling back to the XLA chain")
+    return ok
+
+
+def _watch_child(cmd, phase_prefix, ok_token, first_budget, phase_budget,
+                 hard_deadline, budgets, env=None):
+    """Run ``cmd`` merging stderr→stdout, relaying lines, enforcing a
+    per-phase deadline.  Returns (rc, phase_times, json_obj, tail, why,
+    saw_ok).
+
+    ``budgets``: optional dict phase→kill budget; when given, a
+    ``{phase_prefix} <name>`` line switches to that phase's budget and
+    stamps its wall time into phase_times.  Otherwise every phase line
+    resets a flat ``phase_budget``.  Binary pipe + manual line splitting:
+    a TextIO readline would leave extra lines buffered where select()
+    cannot see them and a healthy child in a long Mosaic compile could
+    be spuriously killed (round-3 advisor finding)."""
     import collections
-    import os
     import selectors
     import subprocess
 
-    me = os.path.abspath(__file__)
-    # binary pipe + manual line splitting: a TextIO readline would leave
-    # any EXTRA lines that arrived in the same pipe chunk sitting in the
-    # TextIO buffer where select() cannot see them — a PROBE_PHASE marker
-    # buffered that way would not reset the deadline and a healthy probe
-    # in a long Mosaic compile could be spuriously killed (round-3 advisor
-    # finding).  os.read drains the whole chunk per wakeup.
-    p = subprocess.Popen([sys.executable, me, "--probe"],
-                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    p = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, env=env)
     sel = selectors.DefaultSelector()
     sel.register(p.stdout, selectors.EVENT_READ)
     buf = b""
 
     def drain_lines():
-        """Read every complete line currently available on the pipe."""
         nonlocal buf
         try:
             chunk = os.read(p.stdout.fileno(), 65536)
         except (BlockingIOError, OSError):
             return []
         buf += chunk
-        *lines, buf_tail = buf.split(b"\n")
-        buf = buf_tail
-        return [ln.decode("utf-8", "replace") + "\n" for ln in lines]
-    # first marker covers imports + backend init + host-side data gen;
-    # each later phase covers its cold Mosaic/XLA compiles + execution
-    deadline = time.time() + 600.0
-    phase_budget = 1800.0
-    tail = collections.deque(maxlen=60)
-    ok = False
-    why = "probe process exited"
+        *lines, tail_b = buf.split(b"\n")
+        buf = tail_b
+        return [ln.decode("utf-8", "replace") for ln in lines]
+
+    deadline = time.time() + first_budget
+    tail = collections.deque(maxlen=80)
+    phase_times = {}
+    cur_phase, phase_t0 = None, None
+    json_obj = None
+    saw_ok = False
+    why = "child exited"
+
+    def close_phase():
+        if cur_phase is not None:
+            phase_times[cur_phase] = round(
+                phase_times.get(cur_phase, 0.0)
+                + (time.time() - phase_t0), 1)
+
+    def handle(line):
+        nonlocal deadline, cur_phase, phase_t0, json_obj, saw_ok
+        tail.append(line)
+        if line.strip():
+            log(f"| {line.rstrip()}")  # live relay for driver post-mortems
+        if line.startswith(phase_prefix):
+            name = line.split()[1] if len(line.split()) > 1 else "?"
+            close_phase()
+            cur_phase, phase_t0 = name, time.time()
+            b = (budgets or {}).get(name, phase_budget)
+            deadline = time.time() + b
+        elif line.startswith("BENCH_TICK"):
+            # ticks prove liveness but do NOT extend the phase budget: a
+            # degraded-but-alive run must still die at the kill budget
+            pass
+        elif ok_token and ok_token in line:
+            saw_ok = True
+        elif line.startswith("{") and '"metric"' in line:
+            try:
+                json_obj = json.loads(line)
+            except ValueError:
+                pass
+
     while True:
         if p.poll() is not None:
             rest = p.stdout.read() or b""
-            for line in (buf + rest).split(b"\n"):
-                text = line.decode("utf-8", "replace")
-                tail.append(text + "\n")
-                if "PROBE_OK" in text:
-                    ok = True
+            for raw in (buf + rest).split(b"\n"):
+                handle(raw.decode("utf-8", "replace"))
+            close_phase()
             break
-        if time.time() > deadline:
-            why = "phase watchdog expired (hung kernel?)"
+        now = time.time()
+        if now > deadline or now > hard_deadline:
+            why = (f"phase '{cur_phase}' exceeded its kill budget "
+                   if now <= hard_deadline else "overall budget exhausted ")
+            why += "(hung or order-slower worker)"
+            close_phase()
             p.kill()
             p.wait()
             break
         if sel.select(timeout=5.0):
             for line in drain_lines():
-                tail.append(line)
-                if line.startswith("PROBE_PHASE"):
-                    log(f"probe: {line.strip()}")
-                    deadline = time.time() + phase_budget
-                elif "PROBE_OK" in line:
-                    ok = True
-    ok = ok and p.returncode == 0
-    if not ok:
-        log(f"pallas probe failed (rc={p.returncode}, {why}):\n"
-            f"{''.join(list(tail)[-40:])[-3000:]}\n"
-            "falling back to the XLA chain")
-    return ok
+                handle(line)
+    return p.returncode, phase_times, json_obj, "\n".join(tail), why, saw_ok
 
 
-def _tunnel_probe(retries: int, wait_s: float) -> bool:
-    """Tunnel-wedge insurance: the axon tunnel can wedge for hours after
-    an OOM-crashed worker, and a wedged tunnel HANGS ``jax.devices()``
-    (backend init never returns — CLAUDE.md).  Probe device discovery in
-    a bounded SUBPROCESS before this process imports jax; retry a few
-    times, then fail fast so the driver records an error instead of a
-    hung benchmark."""
-    import subprocess
+# --------------------------------------------------------------------------
+# supervisor
+# --------------------------------------------------------------------------
 
-    for attempt in range(retries):
-        try:
-            p = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(jax.devices())"],
-                timeout=120, capture_output=True, text=True)
-            if p.returncode == 0:
-                return True
-            log(f"tunnel probe rc={p.returncode}: {p.stderr[-500:]}")
-        except subprocess.TimeoutExpired:
-            log(f"tunnel probe {attempt + 1}/{retries} timed out "
-                "(wedged tunnel?)")
-        if attempt + 1 < retries:
-            time.sleep(wait_s)
-    return False
+def supervise():
+    quick = "--quick" in sys.argv
+    budget = float(os.environ.get("LLE_BENCH_BUDGET", "2700"))
+    hard_deadline = time.time() + budget
+    attempts_log = []
+    best = None          # (rank, json_obj)  rank: 2 healthy, 1 degraded
+
+    # dead-man's switch: if the supervisor itself ever wedges (it should
+    # not — every child is bounded — but the round-4 record is an rc=124
+    # with NOTHING emitted), SIGALRM fires a final JSON line.
+    import signal
+
+    def _alarm(_sig, _frm):
+        detail = {"healthy": False, "error": "supervisor dead-man's switch",
+                  "attempts": attempts_log}
+        if best is not None:
+            o = best[1]
+            o["detail"]["attempts"] = attempts_log
+            print(json.dumps(o), flush=True)
+            os._exit(0)
+        print(json.dumps({
+            "metric": "bead_steps_per_sec_per_chip_100k_le", "value": 0.0,
+            "unit": "bead*steps/s", "vs_baseline": 0.0, "detail": detail,
+        }), flush=True)
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(budget + 90))
+
+    env = dict(os.environ)
+    if env.get("LLE_BENCH_PROBE", "1") != "0":
+        if not _tunnel_probe(hard_deadline - 600):
+            _emit(0.0, 0.0, {
+                "healthy": False,
+                "error": "TPU tunnel unreachable (backend init hangs); "
+                         "axon worker needs to recycle",
+                "attempts": attempts_log}, code=1)
+        if env.get("LLE_PALLAS_STEP", "1") != "0":
+            if not _pallas_hw_probe(hard_deadline - 420):
+                env["LLE_PALLAS_STEP"] = "0"
+
+    fallback = env.get("LLE_PALLAS_STEP", "1") == "0"
+    scale = 3.0 if fallback else 1.0   # XLA chain is ~5x slower per step
+    budgets = {k: max(_KILL_X * v * scale, _PHASE_FLOOR[k])
+               for k, v in _HEALTHY.items()}
+    degraded_at = {k: _DEGRADED_X * v * scale for k, v in _HEALTHY.items()}
+
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        rc, phase_times, obj, tail, why, _ = _watch_child(
+            [sys.executable, os.path.abspath(__file__), "--inner"]
+            + (["--quick"] if quick else []),
+            phase_prefix="BENCH_MARK", ok_token=None,
+            first_budget=budgets["startup"], phase_budget=600.0,
+            hard_deadline=hard_deadline, budgets=budgets, env=env)
+        slow = [f"{k}={phase_times[k]}s(>{degraded_at[k]:.0f})"
+                for k in phase_times if phase_times[k] > degraded_at.get(
+                    k, float("inf"))]
+        rec = {"attempt": attempt, "rc": rc, "wall_s": round(
+            time.time() - t0, 1), "phase_times": phase_times,
+            "degraded_phases": slow}
+        attempts_log.append(rec)
+        if rc == 17:        # inner classified a fused-kernel VMEM OOM
+            log("inner reported VMEM OOM at bench geometry; retrying on "
+                "the XLA chain")
+            env["LLE_PALLAS_STEP"] = "0"
+            fallback, scale = True, 3.0
+            budgets = {k: max(_KILL_X * v * scale, _PHASE_FLOOR[k])
+                       for k, v in _HEALTHY.items()}
+            degraded_at = {k: _DEGRADED_X * v * scale
+                           for k, v in _HEALTHY.items()}
+            continue
+        if obj is not None and rc == 0 and not slow:
+            obj["detail"]["attempts"] = attempts_log
+            print(json.dumps(obj), flush=True)
+            sys.exit(0)
+        if obj is not None:
+            # measured, but the run is suspect (degraded phases / died
+            # after printing).  Keep it as a fallback candidate.
+            obj["detail"]["degraded"] = True
+            obj["detail"]["healthy"] = False
+            rank = 1
+            if best is None or rank > best[0]:
+                best = (rank, obj)
+            log(f"attempt {attempt} produced a DEGRADED number "
+                f"({slow or why}); retrying per the PERF_NOTES rule")
+        else:
+            log(f"attempt {attempt} failed (rc={rc}, {why}); tail:\n"
+                + tail[-1500:])
+        # retry after a worker-recycle wait, if the budget allows a
+        # meaningful attempt (healthy attempt ~120 s + wait)
+        if time.time() + 150 + 300 > hard_deadline or attempt >= 4:
+            break
+        log("waiting 150s for the axon worker to recycle before retrying")
+        time.sleep(150)
+
+    if best is not None:
+        obj = best[1]
+        obj["detail"]["attempts"] = attempts_log
+        print(json.dumps(obj), flush=True)
+        sys.exit(0)
+    _emit(0.0, 0.0, {
+        "healthy": False,
+        "error": "no attempt completed; see attempts[].phase_times",
+        "attempts": attempts_log}, code=1)
 
 
-def main():
+# --------------------------------------------------------------------------
+# the measurement (child process: --inner, or --probe for tiny steps)
+# --------------------------------------------------------------------------
+
+def measure():
     quick = "--quick" in sys.argv
     probe = "--probe" in sys.argv
-    import os
+    fault = os.environ.get("LLE_BENCH_FAULT", "")
+
+    t_phase = [None, None]
 
     def phase(name):
+        now = time.perf_counter()
+        if t_phase[0] is not None:
+            print(f"BENCH_TIME {t_phase[0]} {now - t_phase[1]:.1f}",
+                  flush=True)
+        t_phase[0], t_phase[1] = name, now
         if probe:
             print(f"PROBE_PHASE {name}", flush=True)
+        else:
+            print(f"BENCH_MARK {name}", flush=True)
 
-    if not probe:
-        if os.environ.get("LLE_BENCH_PROBE", "1") != "0" \
-                and not _tunnel_probe(retries=8, wait_s=120):
-            log("TPU tunnel unreachable — refusing to hang; rerun when the "
-                "axon worker recovers")
-            sys.exit(1)
-        if os.environ.get("LLE_PALLAS_STEP", "1") != "0" \
-                and os.environ.get("LLE_BENCH_PROBE", "1") != "0":
-            if not _pallas_hw_probe():
-                os.environ["LLE_PALLAS_STEP"] = "0"
+    def tick(msg):
+        if not probe:
+            print(f"BENCH_TICK {msg}", flush=True)
+
+    phase("startup")
     import jax
     import jax.numpy as jnp
 
@@ -215,8 +428,16 @@ def main():
     )
     state = init_state(system, data.x, types=data.types, seed=11)
     phase("thermalize")
+    if fault == "hang_thermalize":
+        time.sleep(100000)
+    n_th = 4 if probe else (300 if quick else 1500)
     t0 = time.perf_counter()
-    state, _ = run_fast(warm, state, 4 if probe else (300 if quick else 1500))
+    done = 0
+    while done < n_th:
+        this = min(500, n_th - done)
+        state, _ = run_fast(warm, state, this)
+        done += this
+        tick(f"thermalize {done}/{n_th} {time.perf_counter()-t0:.1f}s")
     log(f"thermalization done in {time.perf_counter()-t0:.1f}s "
         f"(incl. compile), flags={int(state.flags):#x}")
 
@@ -251,8 +472,16 @@ def main():
     # settle: seeded extruder bonds inject elastic energy
     settle = Simulation(system=system, dt=0.002, fixes=sim.fixes, ex_btype=2)
     phase("settle")
+    if fault == "die_settle":
+        os._exit(9)
     t0 = time.perf_counter()
-    state, _ = run_fast(settle, state, 4 if probe else (100 if quick else 400))
+    n_se = 4 if probe else (100 if quick else 400)
+    done = 0
+    while done < n_se:
+        this = min(200, n_se - done)
+        state, _ = run_fast(settle, state, this)
+        done += this
+        tick(f"settle {done}/{n_se} {time.perf_counter()-t0:.1f}s")
     log(f"settle {time.perf_counter()-t0:.1f}s, flags={int(state.flags):#x}")
     state = state.replace(flags=jnp.zeros((), jnp.uint32))
 
@@ -281,6 +510,7 @@ def main():
         segment_x, _ = make_fast_segment(sim_x, pallas=False, reactive=False)
     results = {}
     best = None
+    phase("measure")
     for R in sweep:
         if R == 1:
             seg1 = jax.jit(segment_p)
@@ -301,7 +531,6 @@ def main():
         )
         begin = int(jax.device_get(fs.step[0]))
         b0 = jnp.asarray(begin, jnp.int32)
-        phase("measure")
         nwarm = 2 if probe else 40
         nmeas = 4 if probe else (300 if quick else 1500)
         bend = jnp.asarray(begin + nwarm + nmeas, jnp.int32)
@@ -309,6 +538,7 @@ def main():
         fs = vseg(fs, b0, nwarm, b0, bend)
         jax.device_get(fs.step)
         compile_s = time.perf_counter() - t0
+        tick(f"measure R={R} warm+compile {compile_s:.1f}s")
         # chunked measurement: one long device execution through the
         # tunnel risks a transport timeout that kills the TPU worker
         chunk = 250
@@ -319,6 +549,7 @@ def main():
             fs = vseg(fs, b0 + nwarm + done, this, b0, bend)
             jax.device_get(fs.step)
             done += this
+            tick(f"measure R={R} {done}/{nmeas} {time.perf_counter()-t0:.1f}s")
         wall = time.perf_counter() - t0
         sps = nmeas / wall
         agg = sps * n_beads * R
@@ -341,6 +572,7 @@ def main():
             f"clamps={clamps}")
         if best is None or agg > best[1]:
             best = (R, agg, sps, temp, flags, moves, clamps, n_ex, wall)
+    phase("report")
 
     if probe:
         # everything the real benchmark will jit is now compiled, cached
@@ -366,7 +598,7 @@ def main():
         "unit": "bead*steps/s",
         "vs_baseline": round(agg / BASELINE_BEAD_STEPS, 3),
         "detail": {
-            "engine": "fast(grid-resident)",
+            "engine": "fast(grid-resident)" if fused else "xla-chain",
             "best_replicas": R,
             "steps_per_s": round(sps, 2),
             "n_beads": n_beads,
@@ -379,38 +611,29 @@ def main():
             "clamp_events": clamps,
             "replica_sweep": results,
         },
-    }))
+    }), flush=True)
 
 
-def _main_with_vmem_insurance():
+def _inner_with_vmem_insurance():
     """The tiny-system hang probe cannot catch a scoped-VMEM compile OOM
     at the REAL bench geometry (2026-08-18: cap 9 / P 33664 lost the
-    120 MiB cap by 1.04 MiB).  A VMEM OOM is a clean compile-time error,
-    so salvage the run by re-execing on the XLA chain instead of dying."""
-    import os
-    import subprocess
-
-    if "--probe" in sys.argv:
-        # probe subprocess: fail loudly, the parent classifies
-        main()
-        return
+    120 MiB cap by 1.04 MiB).  A VMEM OOM is a clean compile-time error;
+    classify it with rc=17 so the supervisor retries on the XLA chain."""
     try:
-        main()
-        return
+        measure()
     except Exception as e:  # noqa: BLE001 — classify, then re-raise
         msg = str(e)
         fused = os.environ.get("LLE_PALLAS_STEP", "1") != "0"
-        if not (fused and ("vmem" in msg.lower()
-                           or "Ran out of memory" in msg)):
-            raise
-        log(f"fused kernel VMEM OOM at bench geometry:\n{msg[-800:]}\n"
-            "re-running on the XLA chain (LLE_PALLAS_STEP=0)")
-    env = dict(os.environ, LLE_PALLAS_STEP="0", LLE_BENCH_PROBE="0")
-    # a fresh process: the failed compile leaves no usable jax state here
-    p = subprocess.run([sys.executable, os.path.abspath(__file__)]
-                       + sys.argv[1:], env=env)
-    sys.exit(p.returncode)
+        if fused and ("vmem" in msg.lower() or "Ran out of memory" in msg):
+            log(f"fused kernel VMEM OOM at bench geometry:\n{msg[-800:]}")
+            sys.exit(17)
+        raise
 
 
 if __name__ == "__main__":
-    _main_with_vmem_insurance()
+    if "--probe" in sys.argv:
+        measure()        # probe subprocess: fail loudly, the parent classifies
+    elif "--inner" in sys.argv:
+        _inner_with_vmem_insurance()
+    else:
+        supervise()
