@@ -752,9 +752,23 @@ class DeckRunner:
                     raise DeckError(
                         f"compute pair: unrecognized pair style {pname!r}"
                         " (this engine runs pair_style lj/cut)")
-                if rest and rest[0] not in ("evdwl", "epair"):
+                # optional [nsub] then [epair|evdwl|ecoul]
+                # (compute_pair.cpp:49-64); ecoul is identically 0 for
+                # lj/cut but valid reference syntax
+                if rest and rest[0].lstrip("+-").isdigit():
+                    if int(rest.pop(0)) not in (0, 1):
+                        raise DeckError(
+                            "compute pair: nsub out of range (lj/cut is "
+                            "not a hybrid style)")
+                if rest:
+                    ev = rest.pop(0)
+                    if ev not in ("epair", "evdwl", "ecoul"):
+                        raise DeckError(
+                            f"unsupported compute pair arg {ev!r}")
+                    spec["evalue"] = ev
+                if rest:
                     raise DeckError(
-                        f"unsupported compute pair arg {rest[0]!r}")
+                        f"unsupported compute pair args {rest}")
             elif rest:
                 raise DeckError(f"unsupported compute {style} args {rest}")
             self.computes[cid] = spec
@@ -953,8 +967,15 @@ class DeckRunner:
                                 f"{vec.shape[0]} rows")
             return float(vec[idx - 1])
         if spec["style"] in ("bond", "angle", "pair"):
+            if spec.get("evalue") == "ecoul":
+                # lj/cut carries no coulomb term (compute_pair.cpp
+                # accepts ecoul for any pair style; it tallies 0 here)
+                return 0.0
             vec = self._style_energy_vector(spec["style"], st)
             if idx is None:
+                # bare c_ID = vector sum — an EXTENSION: the reference
+                # computes are vector_flag-only for bond/angle
+                # (compute_bond.cpp:32); documented in docs/COMMANDS.md
                 return float(np.sum(vec))
             if not 1 <= idx <= len(vec):
                 raise DeckError(
@@ -1333,6 +1354,21 @@ class DeckRunner:
             return np.asarray([float(ea)])
         vec = []
         if self.system.bonds is not None:
+            # sub-style slot 0 is "the backbone style": valid only while
+            # all backbone bonds share one style.  A hybrid deck mixing
+            # backbone styles would need per-BondHybrid-sub-style tallies
+            # (compute_bond.cpp) that this lumped evaluation cannot
+            # provide — refuse loudly rather than mis-assign energies
+            # (round-4 advisor finding).
+            bt = np.asarray(self.system.backbone_type)
+            used = bt[np.asarray(self.system.next_bead) >= 0]
+            styles = np.unique(np.asarray(self.system.bonds.style)[used])
+            if styles.size > 1:
+                raise DeckError(
+                    "compute bond: backbone bonds mix styles under "
+                    "bond_style hybrid; per-sub-style energy splitting "
+                    "is not supported (compute_bond.cpp tallies per "
+                    "sub-style)")
             _, eb, _ = bond_ops.backbone_bond_force(x, self.system)
             vec.append(float(eb))
         ex_btype = self._ex_btype()  # 1-based; ops take 0-based
@@ -1433,13 +1469,19 @@ class DeckRunner:
         row = thermo_row(st, self.system)
         if key == "temp":
             return float(row.temp)
-        if key in ("eangle", "ebond"):
-            # split the lumped bond+angle tally like thermo.cpp does
+        if key == "eangle":
             ea = 0.0
             if self.system.angle_center_type is not None:
                 ea = float(self._style_energy_vector("angle", st)[0])
-            val = ea if key == "eangle" else float(row.ebond) - ea
-            return val * norm
+            return ea * norm
+        if key == "ebond":
+            # re-evaluate the bond terms at the current positions instead
+            # of splitting the lumped state.ebond tally minus a live angle
+            # term: before the first run (init_state zeroes the tally) or
+            # after position-changing commands the stale tally would give
+            # a bogus negative E_bond (round-4 advisor finding)
+            return float(np.sum(self._style_energy_vector("bond", st))) \
+                * norm
         if key in ("epair", "emol", "ke", "etotal"):
             k = "ebond" if key == "emol" else key
             return float(getattr(row, k)) * norm

@@ -417,3 +417,80 @@ run 3
     lv_em = r.live_value("emol")
     assert abs(lv_ea - float(ea) / r.system.n) < 1e-9
     assert abs((lv_eb + lv_ea) - lv_em) < 1e-6
+
+
+def test_compute_pair_nsub_and_ecoul(tmp_path):
+    """compute pair accepts the reference's optional leading nsub digit
+    and the ecoul evalue (compute_pair.cpp:49-64; ecoul tallies 0 for
+    lj/cut) — round-4 advisor finding."""
+    r = _run(str(tmp_path), """
+compute e1 all pair lj/cut 1 evdwl
+compute ec all pair lj/cut ecoul
+timestep 0.005
+run 2
+""")
+    st = r.state
+    assert abs(r._compute_value("e1", st) - float(st.epair)) < 1e-9
+    assert r._compute_value("ec", st) == 0.0
+
+
+def test_ebond_live_before_first_run(tmp_path):
+    """live_value('ebond') before any run must re-evaluate the bond
+    terms (round-4 advisor finding: the zeroed tally minus a live angle
+    term used to produce a bogus negative E_bond)."""
+    r = _run(str(tmp_path), """
+compute eb all bond
+""", pre="")
+    lv = r.live_value("ebond")       # builds state; no run has happened
+    st = r.state
+    vec = r._style_energy_vector("bond", st)
+    n = r.system.n
+    assert lv >= 0.0 or abs(lv * n - float(np.sum(vec))) < 1e-6
+    assert abs(lv * n - float(np.sum(vec))) < 1e-6
+
+
+def test_compute_bond_mixed_backbone_styles_refused(tmp_path):
+    """A hybrid deck whose BACKBONE bonds mix styles cannot be split
+    into per-sub-style energies by the lumped evaluator — refuse loudly
+    (round-4 advisor finding; reference tallies per BondHybrid
+    sub-style, compute_bond.cpp)."""
+    import pytest
+
+    from lammps_le_tpu.deck.runner import DeckError
+    from lammps_le_tpu.io.data import DataFile, write_data
+
+    td = str(tmp_path)
+    data = serpentine(40, seed=3, n_atom_types=1, n_bond_types=2)
+    bonds = np.asarray(data.bonds).copy()
+    bonds[::2, 0] = 1          # alternate backbone bonds to type 2
+    data = DataFile(
+        n_atoms=data.n_atoms, n_bonds=data.n_bonds, n_atom_types=1,
+        n_bond_types=2, box_lo=data.box_lo, box_hi=data.box_hi,
+        masses=data.masses, x=data.x, v=None, types=data.types,
+        molecule=data.molecule, image=data.image, bonds=bonds,
+    )
+    write_data(os.path.join(td, "data.mix"), data)
+    deck = """
+units lj
+atom_style bond
+special_bonds fene
+read_data data.mix
+neighbor 0.3 bin
+bond_style hybrid
+bond_coeff 1 fene 30.0 1.5 1.0 1.0
+bond_coeff 2 harmonic 10.0 1.1
+pair_style lj/cut 1.12
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 0.5 12345
+fix 1 all nve
+compute eb all bond
+timestep 0.005
+run 1
+"""
+    path = os.path.join(td, "in.mix")
+    with open(path, "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(path)
+    with pytest.raises(DeckError, match="mix styles"):
+        r._compute_value("eb", r.state)
