@@ -58,10 +58,18 @@ BASELINE_BEAD_STEPS = 32000 * 102.286  # reference chain bench, 1 core
 # 2.5-17.5 M on a build that measures 22.11 M healthy); kill = ~15x.
 _HEALTHY = {"startup": 45.0, "thermalize": 16.0, "settle": 8.0,
             "measure": 15.0}
+# compile_* phases carry the cold-cache Mosaic/XLA compiles (minutes on
+# a cold cache, seconds warm) and are never classified degraded — the
+# 2026-08-20 quick run proved a healthy worker pays ~130 s of compile
+# loading on the first post-reboot attempt while measuring a healthy
+# 219 steps/s; killing/retrying over compile time wastes an attempt.
+_COMPILE_PHASES = ("compile_thermalize", "compile_settle",
+                   "measure_compile", "report")
 _DEGRADED_X = 10.0
 _KILL_X = 15.0
 _PHASE_FLOOR = {"startup": 420.0, "thermalize": 240.0, "settle": 120.0,
                 "measure": 300.0}
+_COMPILE_BUDGET = 900.0
 
 
 def log(msg):
@@ -276,11 +284,15 @@ def supervise():
             if not _pallas_hw_probe(hard_deadline - 420):
                 env["LLE_PALLAS_STEP"] = "0"
 
+    def _budgets(scale):
+        b = {k: max(_KILL_X * v * scale, _PHASE_FLOOR[k])
+             for k, v in _HEALTHY.items()}
+        b.update({k: _COMPILE_BUDGET for k in _COMPILE_PHASES})
+        return b, {k: _DEGRADED_X * v * scale for k, v in _HEALTHY.items()}
+
     fallback = env.get("LLE_PALLAS_STEP", "1") == "0"
     scale = 3.0 if fallback else 1.0   # XLA chain is ~5x slower per step
-    budgets = {k: max(_KILL_X * v * scale, _PHASE_FLOOR[k])
-               for k, v in _HEALTHY.items()}
-    degraded_at = {k: _DEGRADED_X * v * scale for k, v in _HEALTHY.items()}
+    budgets, degraded_at = _budgets(scale)
 
     attempt = 0
     while True:
@@ -304,10 +316,7 @@ def supervise():
                 "the XLA chain")
             env["LLE_PALLAS_STEP"] = "0"
             fallback, scale = True, 3.0
-            budgets = {k: max(_KILL_X * v * scale, _PHASE_FLOOR[k])
-                       for k, v in _HEALTHY.items()}
-            degraded_at = {k: _DEGRADED_X * v * scale
-                           for k, v in _HEALTHY.items()}
+            budgets, degraded_at = _budgets(scale)
             continue
         if obj is not None and rc == 0 and not slow:
             obj["detail"]["attempts"] = attempts_log
@@ -427,10 +436,16 @@ def measure():
         ex_btype=2,
     )
     state = init_state(system, data.x, types=data.types, seed=11)
+    # one-step precompile under its own phase: cold-cache Mosaic/XLA
+    # compiles are minutes and must not count against the thermalize
+    # phase's degraded-worker classification (they are the dominant cost
+    # of the FIRST post-reboot attempt on a perfectly healthy worker)
+    phase("compile_thermalize")
+    state, _ = run_fast(warm, state, 1)
     phase("thermalize")
     if fault == "hang_thermalize":
         time.sleep(100000)
-    n_th = 4 if probe else (300 if quick else 1500)
+    n_th = (4 if probe else (300 if quick else 1500)) - 1
     t0 = time.perf_counter()
     done = 0
     while done < n_th:
@@ -438,8 +453,8 @@ def measure():
         state, _ = run_fast(warm, state, this)
         done += this
         tick(f"thermalize {done}/{n_th} {time.perf_counter()-t0:.1f}s")
-    log(f"thermalization done in {time.perf_counter()-t0:.1f}s "
-        f"(incl. compile), flags={int(state.flags):#x}")
+    log(f"thermalization done in {time.perf_counter()-t0:.1f}s, "
+        f"flags={int(state.flags):#x}")
 
     # --- seed extruders at regular (i, i+2) sites ---
     spacing = n_beads // n_ex0
@@ -471,11 +486,13 @@ def measure():
     )
     # settle: seeded extruder bonds inject elastic energy
     settle = Simulation(system=system, dt=0.002, fixes=sim.fixes, ex_btype=2)
+    phase("compile_settle")
+    state, _ = run_fast(settle, state, 1)
     phase("settle")
     if fault == "die_settle":
         os._exit(9)
     t0 = time.perf_counter()
-    n_se = 4 if probe else (100 if quick else 400)
+    n_se = (4 if probe else (100 if quick else 400)) - 1
     done = 0
     while done < n_se:
         this = min(200, n_se - done)
@@ -510,8 +527,8 @@ def measure():
         segment_x, _ = make_fast_segment(sim_x, pallas=False, reactive=False)
     results = {}
     best = None
-    phase("measure")
     for R in sweep:
+        phase("measure_compile")
         if R == 1:
             seg1 = jax.jit(segment_p)
             vseg = jax.jit(
@@ -539,6 +556,7 @@ def measure():
         jax.device_get(fs.step)
         compile_s = time.perf_counter() - t0
         tick(f"measure R={R} warm+compile {compile_s:.1f}s")
+        phase("measure")
         # chunked measurement: one long device execution through the
         # tunnel risks a transport timeout that kills the TPU worker
         chunk = 250
