@@ -72,17 +72,19 @@ def _deck_prepare(n_beads, prep_steps):
             + "write_restart shared.restart\nwrite_data shared.data\n")
 
 
-def _deck_resume(window, thermo, seed):
-    # ex_load is EXCLUDED from the resume window: the reference's own
-    # fix ex_load corrupts its topology (VALIDATION.md defect 1) — a
-    # first attempt with loading on died in the reference binary with
-    # 'Bad FENE bond' (bond_fene.cpp:90) ~900 steps into the window
-    # (2026-08-19).  The window still exercises extrusion + unload
-    # kinetics from the shared mid-LE state.
+def _deck_resume(window, thermo, seed, with_load=False):
+    # By default ex_load is EXCLUDED from the resume window: the
+    # reference's own fix ex_load corrupts its topology (VALIDATION.md
+    # defect 1) — a first attempt with loading on died in the reference
+    # binary with 'Bad FENE bond' (bond_fene.cpp:90) ~900 steps into the
+    # window (2026-08-19).  ``with_load=True`` keeps it for the
+    # survivable-regime probe (round-4 verdict next #6: pload <= 1e-3,
+    # short window, newton off, no atype conversion — the regime where
+    # the reference loader has the best chance of surviving).
     fixes = "\n".join(
         ln for ln in _FIXES.format(
             seed=seed, seed2=seed + 7, seed3=seed + 13).splitlines()
-        if not ln.startswith("fix loading"))
+        if with_load or not ln.startswith("fix loading"))
     return (_STYLES + "read_restart shared.restart\n" + _FF
             + fixes
             + f"\nthermo {thermo}\ntimestep 0.006\nrun {window}\n"
@@ -188,6 +190,59 @@ def main():
           f"{'PASS' if ok_ex else 'FAIL'}")
     print("ALL PASS" if all(verdicts) else "FAILURES PRESENT")
     print(f"workdir: {td}")
+
+    # ---- survivable-regime ex_load window (round-4 verdict next #6) ----
+    # Same shared restart, ex_load INCLUDED, short window (< the ~900
+    # steps the reference survived in the 2026-08-19 attempt).  Either a
+    # PASS row for load kinetics vs the binary, or committed evidence of
+    # the reference corrupting itself in its gentlest regime.
+    lw = int(os.environ.get("LLE_AB_LOAD_WINDOW", "700"))
+    print(f"\nex_load A/B in the survivable regime (window={lw}, "
+          f"pload=0.001, newton off, no atype):", flush=True)
+    with open(os.path.join(td, "in.ref_load"), "w") as fh:
+        fh.write(_deck_resume(lw, thermo, seed=321321, with_load=True))
+    proc = subprocess.run([lmp, "-in", "in.ref_load", "-log",
+                           "log.ref_load"], cwd=td, capture_output=True,
+                          text=True, timeout=3600)
+    if proc.returncode != 0:
+        ev = os.path.join(HERE, "evidence")
+        os.makedirs(ev, exist_ok=True)
+        for f in ("in.ref_load", "log.ref_load"):
+            src = os.path.join(td, f)
+            if os.path.exists(src):
+                with open(src) as a, open(os.path.join(ev, f), "w") as b:
+                    b.write(a.read())
+        print("  reference binary DIED with ex_load active even in its "
+              "survivable regime:")
+        print("  " + "\n  ".join((proc.stdout[-600:]).splitlines()[-6:]))
+        print(f"  evidence committed to benchmarks/evidence/ "
+              f"(deck + log); the ex_load reference-A/B axis is closed "
+              f"(VALIDATION.md defect 1)")
+        return
+    ref_rows_l = parse_thermo(open(os.path.join(td, "log.ref_load")).read())
+    ref_end_l = read_data(os.path.join(td, "end.data"))
+    ref_nex_l = int(np.sum(np.asarray(ref_end_l.bonds)[:, 0] == 1)) \
+        if len(ref_end_l.bonds) else 0
+
+    with open(os.path.join(td, "in.ours_load"), "w") as fh:
+        fh.write(_deck_resume(lw, thermo, seed=999777, with_load=True))
+    ours_rows_l, ours_nex_l, _ = _ours(td, "in.ours_load")
+    verdicts_l = []
+    for k in ("temp", "epair", "emol"):
+        mr, sr = stats(ref_rows_l, k)
+        mo, so = stats(ours_rows_l, k)
+        tol = 3.0 * max(sr, so, 1e-6) + 0.02 * abs(mr)
+        ok = abs(mr - mo) < tol
+        verdicts_l.append(ok)
+        print(f"  {k:6s} ref={mr:.5g}±{sr:.2g}  ours={mo:.5g}±{so:.2g} "
+              f"{'PASS' if ok else 'FAIL'}", flush=True)
+    lo, hi = sorted((ref_nex_l, max(ours_nex_l, 1)))
+    ok_ex = (ref_nex_l == 0 and ours_nex_l == 0) or hi / max(lo, 1) < 2.0
+    verdicts_l.append(ok_ex)
+    print(f"  extruders at load-window end: ref={ref_nex_l} "
+          f"ours={ours_nex_l} {'PASS' if ok_ex else 'FAIL'}")
+    print("LOAD WINDOW: " + ("ALL PASS" if all(verdicts_l)
+                             else "FAILURES PRESENT"))
 
 
 if __name__ == "__main__":
