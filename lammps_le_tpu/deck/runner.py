@@ -253,13 +253,28 @@ class DeckRunner:
         self.lattice = (style, a, basis[style])
 
     def cmd_region(self, args):
-        """region ID block xlo xhi ylo yhi zlo zhi — bounds in lattice
-        units when a lattice is defined (region.cpp default 'units
-        lattice')."""
+        """region ID block xlo xhi ylo yhi zlo zhi  |  region ID sphere
+        x y z R — bounds in lattice units when a lattice is defined
+        (region.cpp default 'units lattice'; src/region_sphere.cpp)."""
         rid, style = args[0], args[1]
-        if style != "block":
+        if style not in ("block", "sphere"):
             raise DeckError(f"unsupported region style {style}")
         scale = self.lattice[1] if self.lattice else 1.0
+        if style == "sphere":
+            tail = list(args[6:])
+            while tail:
+                k = tail.pop(0)
+                if k == "units" and tail:
+                    u = tail.pop(0)
+                    if u == "box":
+                        scale = 1.0
+                    elif u != "lattice":
+                        raise DeckError(f"region units {u!r} unsupported")
+                else:
+                    raise DeckError(f"unsupported region arg {k!r}")
+            cx, cy, cz, rad = (float(v) * scale for v in args[2:6])
+            self.regions[rid] = ("sphere", (cx, cy, cz, rad))
+            return
         tail = list(args[8:])
         while tail:
             k = tail.pop(0)
@@ -294,11 +309,33 @@ class DeckRunner:
                 bb.append(float(v) * scale)
         self.regions[rid] = ("block", bb)
 
+
+    def _region_mask(self, rid, x):
+        """Membership mask of positions in region ``rid`` (open/closed
+        per the reference's inside() conventions: block faces inclusive,
+        region_block.cpp; sphere surface inclusive,
+        region_sphere.cpp:120)."""
+        if rid not in self.regions:
+            raise DeckError(f"undefined region {rid!r}")
+        style, pp = self.regions[rid]
+        x = np.asarray(x)
+        if style == "sphere":
+            cx, cy, cz, rad = pp
+            d = x - np.asarray([cx, cy, cz])
+            return np.sum(d * d, axis=1) <= rad * rad
+        bb = pp
+        return ((x[:, 0] >= bb[0]) & (x[:, 0] <= bb[1])
+                & (x[:, 1] >= bb[2]) & (x[:, 1] <= bb[3])
+                & (x[:, 2] >= bb[4]) & (x[:, 2] <= bb[5]))
+
     def cmd_create_box(self, args):
         rid = args[1]
         if rid not in self.regions:
             raise DeckError(f"create_box: undefined region {rid!r}")
-        _, bb = self.regions[rid]
+        style, bb = self.regions[rid]
+        if style != "block":
+            raise DeckError("create_box requires a block region "
+                            "(orthogonal box, src/create_box.cpp)")
         self._pending_box = (int(args[0]), (bb[0], bb[2], bb[4]),
                              (bb[1], bb[3], bb[5]))
 
@@ -996,11 +1033,7 @@ class DeckRunner:
             m = np.asarray(self.system.masses,
                            np.float64)[np.asarray(st.type)]
             if spec["style"] == "temp/region":
-                _, bb = self.regions[spec["region"]]
-                x = np.asarray(st.x)
-                sel = ((x[:, 0] >= bb[0]) & (x[:, 0] <= bb[1])
-                       & (x[:, 1] >= bb[2]) & (x[:, 1] <= bb[3])
-                       & (x[:, 2] >= bb[4]) & (x[:, 2] <= bb[5]))
+                sel = self._region_mask(spec["region"], st.x)
                 gm = self._group_mask(spec["group"])
                 if gm is not None:
                     sel &= np.asarray(gm)
@@ -1050,11 +1083,7 @@ class DeckRunner:
             # single-input reduction over region members
             # (compute_reduce_region.cpp); shares the reduce input
             # resolution below via a region-masked recursion
-            _, bb = self.regions[spec["region"]]
-            x = np.asarray(st.x)
-            sel = ((x[:, 0] >= bb[0]) & (x[:, 0] <= bb[1])
-                   & (x[:, 1] >= bb[2]) & (x[:, 1] <= bb[3])
-                   & (x[:, 2] >= bb[4]) & (x[:, 2] <= bb[5]))
+            sel = self._region_mask(spec["region"], st.x)
             vals = self._reduce_input_values(spec, st)
             gm = self._group_mask(spec["group"])
             if gm is not None:
@@ -1992,13 +2021,40 @@ class DeckRunner:
                     t_cur = ke / (max(ndof, 1) * boltz)
                     if t_cur > 0:
                         v[mask] *= np.sqrt(t_tgt / t_cur)
-                else:
-                    if args[2:3] != ["linear"]:
-                        raise DeckError("velocity zero: only 'linear'")
+                elif args[2:3] == ["linear"]:
                     # mass-weighted COM velocity (velocity.cpp zero_momentum)
                     vcm = ((m_at[mask] * v[mask]).sum(axis=0)
                            / m_at[mask].sum())
                     v[mask] -= vcm
+                elif args[2:3] == ["angular"]:
+                    # velocity.cpp zero_rotation: subtract omega x r
+                    # about the group COM using UNWRAPPED coordinates
+                    # (group.cpp angmom/inertia conventions)
+                    x = np.asarray(self._unwrapped(self.state),
+                                   np.float64)
+                    m1 = m_at[:, 0]
+                    com = ((m1[mask, None] * x[mask]).sum(axis=0)
+                           / m1[mask].sum())
+                    d = x[mask] - com
+                    L = np.sum(np.cross(d, m1[mask, None] * v[mask]),
+                               axis=0)
+                    # inertia tensor about the COM
+                    ixx = np.sum(m1[mask] * (d[:, 1]**2 + d[:, 2]**2))
+                    iyy = np.sum(m1[mask] * (d[:, 0]**2 + d[:, 2]**2))
+                    izz = np.sum(m1[mask] * (d[:, 0]**2 + d[:, 1]**2))
+                    ixy = -np.sum(m1[mask] * d[:, 0] * d[:, 1])
+                    ixz = -np.sum(m1[mask] * d[:, 0] * d[:, 2])
+                    iyz = -np.sum(m1[mask] * d[:, 1] * d[:, 2])
+                    itens = np.array([[ixx, ixy, ixz],
+                                      [ixy, iyy, iyz],
+                                      [ixz, iyz, izz]])
+                    omega = np.linalg.solve(
+                        itens + 1e-30 * np.eye(3), L)
+                    v[mask] -= np.cross(
+                        np.broadcast_to(omega, d.shape), d)
+                else:
+                    raise DeckError(
+                        "velocity zero: expected 'linear' or 'angular'")
                 import jax.numpy as _jnp
 
                 self.state = self.state.replace(
@@ -2328,37 +2384,45 @@ class DeckRunner:
                 # membership at resolve time (group.cpp region style is
                 # also a static snapshot)
                 rid = rest[0]
-                if rid not in self.regions:
-                    raise DeckError(f"group region: undefined {rid!r}")
-                _, bb = self.regions[rid]
                 x = (np.asarray(self.state.x) if self.state is not None
                      else self.data.x)
-                mask = ((x[:, 0] >= bb[0]) & (x[:, 0] <= bb[1])
-                        & (x[:, 1] >= bb[2]) & (x[:, 1] <= bb[3])
-                        & (x[:, 2] >= bb[4]) & (x[:, 2] <= bb[5]))
+                mask = self._region_mask(rid, x)
             else:
                 raise DeckError(f"unsupported group style {style}")
             out[name] = mask
         return out
 
     def cmd_min_style(self, args):
-        if args[0] != "fire":
-            raise DeckError("only min_style fire is supported")
+        if args[0] not in ("fire", "cg", "sd"):
+            raise DeckError("min_style must be fire, cg, or sd")
+        self.min_style = args[0]
 
     def cmd_minimize(self, args):
-        """minimize etol ftol maxiter maxeval (reference: src/min_fire.cpp);
-        etol/maxeval accepted for syntax parity, convergence is on ftol."""
-        from ..integrate.fire import minimize
-
+        """minimize etol ftol maxiter maxeval — dispatches on min_style
+        (reference: src/min_fire.cpp, min_cg.cpp, min_sd.cpp; maxeval
+        accepted for syntax parity).  FIRE converges on max|F|; cg/sd
+        use the reference's etol + force-2-norm criteria."""
+        etol = float(args[0]) if args else 0.0
         ftol = float(args[1]) if len(args) > 1 else 1e-4
         maxiter = int(args[2]) if len(args) > 2 else 1000
         if self._dirty or self.sim is None:
             self._build()
         self._apply_velocity_cmds()
-        state, it, fmax = minimize(self.sim, self.state, ftol=ftol,
-                                   maxiter=maxiter)
+        style = getattr(self, "min_style", "fire")
+        if style == "fire":
+            from ..integrate.fire import minimize
+
+            state, it, fmax = minimize(self.sim, self.state, ftol=ftol,
+                                       maxiter=maxiter)
+        else:
+            from ..integrate.min_cg import minimize_cg
+
+            state, it, fmax = minimize_cg(self.sim, self.state, etol=etol,
+                                          ftol=ftol, maxiter=maxiter,
+                                          sd=(style == "sd"))
         self.state = state
-        self.log(f"Minimization: {it} iterations, max|F| = {fmax:.6g}")
+        self.log(f"Minimization ({style}): {it} iterations, "
+                 f"max|F| = {fmax:.6g}")
 
     def _state_datafile(self):
         """Current state as a DataFile (bonds rebuilt from the implicit

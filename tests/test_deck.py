@@ -312,3 +312,93 @@ def test_replicate(tmp_path):
     # box doubled along x
     assert abs(r.system.box_size[0] - 2 * 9.6) < 1e-9 or \
         r.system.box_size[0] > r.system.box_size[1]
+
+
+def test_region_sphere_group_and_temp_region(tmp_path):
+    """region sphere (src/region_sphere.cpp): membership for group
+    region and compute temp/region."""
+    import numpy as np
+
+    from lammps_le_tpu.deck import DeckRunner
+    from lammps_le_tpu.io.data import write_data
+    from lammps_le_tpu.scene import serpentine
+
+    td = str(tmp_path)
+    data = serpentine(200, seed=9)
+    write_data(os.path.join(td, "d.data"), data)
+    cx, cy, cz = np.asarray(data.box_hi) * 0.5
+    deck = f"""
+units lj
+atom_style bond
+special_bonds fene
+read_data d.data
+neighbor 0.3 bin
+bond_style fene
+bond_coeff 1 30.0 1.5 1.0 1.0
+pair_style lj/cut 1.12
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
+region ball sphere {cx} {cy} {cz} 3.5 units box
+group inner region ball
+fix 1 all nve
+compute tr all temp/region ball
+timestep 0.004
+run 2
+"""
+    path = os.path.join(td, "in.sph")
+    with open(path, "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(path)
+    st = r.state
+    x = np.asarray(st.x)
+    d = x - np.array([cx, cy, cz])
+    sel = np.sum(d * d, axis=1) <= 3.5 ** 2
+    assert 0 < sel.sum() < r.system.n
+    got = np.asarray(r._region_mask("ball", st.x))
+    assert np.array_equal(got, sel)
+    v = np.asarray(st.v, np.float64)
+    m = np.asarray(r.system.masses, np.float64)[np.asarray(st.type)]
+    want = float(np.sum(m[sel] * np.sum(v[sel] ** 2, 1))
+                 / (3.0 * sel.sum()))
+    assert abs(r._compute_value("tr", st) - want) < 1e-10
+
+
+def test_velocity_zero_angular(tmp_path):
+    """velocity all zero angular (velocity.cpp zero_rotation): the group
+    angular momentum about its COM vanishes."""
+    import numpy as np
+
+    from lammps_le_tpu.deck import DeckRunner
+    from lammps_le_tpu.io.data import write_data
+    from lammps_le_tpu.scene import serpentine
+
+    td = str(tmp_path)
+    write_data(os.path.join(td, "d.data"), serpentine(150, seed=4))
+    deck = """
+units lj
+atom_style bond
+special_bonds fene
+read_data d.data
+neighbor 0.3 bin
+bond_style fene
+bond_coeff 1 30.0 1.5 1.0 1.0
+pair_style lj/cut 1.12
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
+velocity all zero angular
+fix 1 all nve
+run 0
+"""
+    path = os.path.join(td, "in.za")
+    with open(path, "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float64", quiet=True)
+    r.run_file(path)
+    st = r.state
+    x = np.asarray(r._unwrapped(st), np.float64)
+    v = np.asarray(st.v, np.float64)
+    m = np.asarray(r.system.masses, np.float64)[np.asarray(st.type)]
+    com = (m[:, None] * x).sum(0) / m.sum()
+    L = np.sum(np.cross(x - com, m[:, None] * v), axis=0)
+    assert np.max(np.abs(L)) < 1e-8 * len(x)
