@@ -72,6 +72,8 @@ def _window_call(C: StencilConsts, cap: int, Wp: int, NOFF: int,
             jnp.zeros((4, 128), jnp.float32),
         ], axis=0)
 
+    import os
+
     return pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((3, cap, Wp), jnp.float32),
@@ -80,6 +82,12 @@ def _window_call(C: StencilConsts, cap: int, Wp: int, NOFF: int,
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         scratch_shapes=[pltpu.VMEM((4, Wp), jnp.float32)],
+        # without this the remote compiler applies a 16 MiB scoped-stack
+        # cap and the sp=1 hardware compile OOMs at Wp 19456 (2026-08-20);
+        # the single-chip kernels carry the same 127 MiB override
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(os.environ.get(
+                "LLE_VMEM_LIMIT_MB", "127")) * 1024 * 1024),
         interpret=interpret,
     )
 
