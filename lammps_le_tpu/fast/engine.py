@@ -88,6 +88,11 @@ class _FastMaps:
     src_cols: np.ndarray    # (P,) padded source column per padded column
     interior: np.ndarray    # (P,) bool
     shifts: np.ndarray      # (P, 3) ghost-image coordinate shifts
+    # halo-face consts for the masked-roll refresh (pallas_step
+    # make_halo_consts layout: aux rows 0-5 = x/y/z lo/hi face masks)
+    halo_aux: np.ndarray = None       # (8, P) float32
+    halo_roll: tuple = None           # ((s_lo, s_hi) per axis)
+    box: tuple = None
 
 
 _MAPS_CACHE: dict = {}
@@ -128,6 +133,13 @@ def fast_maps(system: System) -> _FastMaps:
         src_cols=src_cols,
         interior=np.array(int_p, bool),
         shifts=shifts,
+    )
+    from .pallas_step import make_halo_consts
+
+    aux, roll_shifts, _ = make_halo_consts(system, maps)
+    maps = dataclasses.replace(
+        maps, halo_aux=aux, halo_roll=tuple(roll_shifts),
+        box=tuple(float(b) for b in system.box_size),
     )
     _MAPS_CACHE[key] = maps
     return maps
@@ -364,9 +376,11 @@ def _place(system: System, maps: _FastMaps, x, v, f, types, ex_left,
     hn = flat3[capP: 2 * capP].reshape(cap, P).astype(bool)
     pid = flat3[2 * capP:].reshape(cap, P)
 
-    # static halo columns for the int planes (refreshed only at rebuild)
-    src = jnp.asarray(maps.src_cols)
-    ints = jnp.stack([bid, hn.astype(jnp.int32), pid])[:, :, src]
+    # static halo columns for the int planes (refreshed only at rebuild);
+    # masked rolls for the same reason as _halo_refresh (the 3-plane
+    # gather cost ~20 ms per rebuild at 1M)
+    ints = _halo_refresh_int(
+        jnp.stack([bid, hn.astype(jnp.int32), pid]), maps)
     bid, hn, pid = ints[0], ints[1].astype(bool), ints[2]
 
     gx = _halo_refresh(gx, maps)
@@ -552,11 +566,46 @@ def _ex_block_table(exl_slot, exr_slot, ex_left, capP, P, cap, epad,
 
 
 def _halo_refresh(gx, maps: _FastMaps):
-    """Refresh halo columns of the position planes (one column gather +
-    the static +-L ghost-image shift — Comm::forward_comm's analog)."""
-    src = jnp.asarray(maps.src_cols)
-    sh = jnp.asarray(maps.shifts.T, gx.dtype)[:, None, :]   # (3, 1, P)
-    return gx[:, :, src] + sh
+    """Refresh halo columns of the position planes — Comm::forward_comm's
+    analog — as SIX MASKED ROLLS (z -> y -> x; edges/corners compose by
+    sequential application, bit-exact vs the src_cols gather).
+
+    Round 5: the original static column gather cost 21.0 ms/step on the
+    1M planes vs 1.45 ms for the rolls (probe_1m_components, 2026-08-20)
+    — random-index gathers are the most expensive primitive on this part
+    (2.5-8 ms per million elements, CLAUDE.md) while rolls are dense
+    lane shifts.  Under GSPMD the rolls also lower to collective
+    permutes of boundary slabs instead of a gather all-to-all.  The
+    lane-padding tail keeps its _FAR fill (rebuild scatters it; no face
+    mask covers it), which preserves the no-fake-pairs sentinel."""
+    aux = jnp.asarray(maps.halo_aux)
+    a = gx
+    for axis in (2, 1, 0):
+        s_lo, s_hi = maps.halo_roll[axis]
+        m_lo = aux[2 * axis]
+        m_hi = aux[2 * axis + 1]
+        keep = 1.0 - m_lo - m_hi
+        sh = jnp.zeros((3, 1, 1), a.dtype).at[axis, 0, 0].set(
+            jnp.asarray(maps.box[axis], a.dtype))
+        lo = (jnp.roll(a, s_lo, axis=-1) - sh) * m_lo
+        hi = (jnp.roll(a, s_hi, axis=-1) + sh) * m_hi
+        a = a * keep + lo + hi
+    return a
+
+
+def _halo_refresh_int(ints, maps: _FastMaps):
+    """Masked-roll halo refresh for stacked int planes (bid/hn/pid at
+    rebuild): same composition as _halo_refresh without the ghost-image
+    coordinate shift."""
+    aux = maps.halo_aux
+    a = ints
+    for axis in (2, 1, 0):
+        s_lo, s_hi = maps.halo_roll[axis]
+        m_lo = jnp.asarray(aux[2 * axis] > 0.5)
+        m_hi = jnp.asarray(aux[2 * axis + 1] > 0.5)
+        a = jnp.where(m_lo, jnp.roll(a, s_lo, axis=-1), a)
+        a = jnp.where(m_hi, jnp.roll(a, s_hi, axis=-1), a)
+    return a
 
 
 # ---------------------------------------------------------------------------
@@ -1210,7 +1259,7 @@ def make_fast_segment(sim, thermo_every: int = 0, pallas=None,
         pid_flat = pid_flat.at[fs.slot_of].set(
             partner, mode="drop", unique_indices=True)
         pid = pid_flat.reshape(maps.cap, maps.P)
-        pid = pid[:, jnp.asarray(maps.src_cols)]
+        pid = _halo_refresh_int(pid[None], maps)[0]
         exl, exr = _ex_slots(fs.slot_of, l, r)
         tab, tabT, bases, nblk, nwin, ex_fb = _ex_block_table(
             exl, exr, l, capP, maps.P, maps.cap, _ex_epad(system),

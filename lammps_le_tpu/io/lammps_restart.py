@@ -556,11 +556,24 @@ def write_lammps_restart(path: str, data, step: int, dt: float,
         per_atom[int(a_)].append((int(t) + 1, int(b_) + 1))
         per_atom[int(b_)].append((int(t) + 1, int(a_) + 1))
     recs = []
-    x = np.asarray(data.x, np.float64)
+    x = np.asarray(data.x, np.float64).copy()
     v = (np.asarray(data.v, np.float64) if data.v is not None
          else np.zeros((n, 3)))
     img = (np.asarray(data.image, np.int64) if data.image is not None
-           else np.zeros((n, 3), np.int64))
+           else np.zeros((n, 3), np.int64)).copy()
+    # Domain::pbc analog (domain.cpp:528): the fast engine wraps
+    # positions only at neighbor rebuilds, so a snapshot can hold beads
+    # slightly outside the box — the reference's read_restart assigns
+    # atoms to subdomains by coordinate and ERRORS on out-of-box atoms
+    # ("Did not assign all restart atoms correctly",
+    # read_restart.cpp:473).  Wrap into [lo, hi) and fold the shift into
+    # the image flags so unwrapped coordinates are preserved.
+    lo = np.asarray(data.box_lo, np.float64)
+    hi = np.asarray(data.box_hi, np.float64)
+    L = hi - lo
+    shift = np.floor((x - lo) / L).astype(np.int64)
+    x -= shift * L
+    img += shift
     mol = (np.asarray(data.molecule, np.int64) if data.molecule is not None
            else np.zeros(n, np.int64))
     types = np.asarray(data.types, np.int64)
