@@ -37,7 +37,15 @@ class DumpSpec:
 
     def open(self):
         if self._fh is None:
-            self._fh = open(self.path, "w")
+            if self.path.endswith(".gz"):
+                # compressed dumps (the reference's dump */gz variants /
+                # COMPRESS package, src/dump_atom_gz.cpp): transparent
+                # from the .gz suffix like `dump ... file.dump.gz`
+                import gzip
+
+                self._fh = gzip.open(self.path, "wt")
+            else:
+                self._fh = open(self.path, "w")
         return self._fh
 
     def close(self):

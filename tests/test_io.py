@@ -101,3 +101,42 @@ def test_checkpoint_bitwise_roundtrip(tmp_path):
             np.asarray(getattr(back, name)), np.asarray(getattr(state, name)),
             err_msg=name,
         )
+
+
+def test_gz_dump(tmp_path):
+    """.gz dump paths write gzip-compressed frames (the reference's
+    dump atom/gz etc., src/dump_atom_gz.cpp / COMPRESS package)."""
+    import gzip
+    import os
+
+    from lammps_le_tpu.deck import DeckRunner
+    from lammps_le_tpu.io.data import write_data
+    from lammps_le_tpu.scene import serpentine
+
+    td = str(tmp_path)
+    write_data(os.path.join(td, "d.data"), serpentine(120, seed=2))
+    deck = """
+units lj
+atom_style bond
+special_bonds fene
+read_data d.data
+neighbor 0.3 bin
+bond_style fene
+bond_coeff 1 30.0 1.5 1.0 1.0
+pair_style lj/cut 1.12
+pair_coeff * * 1.0 1.0 1.12
+velocity all create 1.0 87287
+fix 1 all nve
+dump d1 all atom 2 traj.dump.gz
+timestep 0.004
+run 4
+"""
+    path = os.path.join(td, "in.gz")
+    with open(path, "w") as fh:
+        fh.write(deck)
+    r = DeckRunner(dtype="float32", quiet=True)
+    r.run_file(path)
+    with gzip.open(os.path.join(td, "traj.dump.gz"), "rt") as fh:
+        txt = fh.read()
+    assert "ITEM: TIMESTEP" in txt
+    assert txt.count("ITEM: ATOMS") >= 2
