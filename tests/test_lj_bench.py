@@ -77,7 +77,8 @@ def test_region_requires_lattice_rules():
     r = DeckRunner(dtype="float64", quiet=True)
     r.command("units", ["lj"])
     with pytest.raises(DeckError):
-        r.command("region", ["box", "sphere", "0", "0", "0", "5"])
+        r.command("region", ["box", "cone", "x", "0", "0", "2", "5", "0",
+                             "4"])  # style beyond block/sphere
     r.command("lattice", ["fcc", "0.8442"])
     r.command("region", ["box", "block", "0", "2", "0", "2", "0", "2"])
     with pytest.raises(DeckError):
