@@ -338,43 +338,37 @@ def _place(system: System, maps: _FastMaps, x, v, f, types, ex_left,
     slot_of = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
 
     capP = cap * P
-    placed = slot_of < capP  # dropped (overflowed) beads scatter nowhere
 
-    def plane_targets(k_planes):
-        return jnp.concatenate([
-            jnp.where(placed, slot_of + k * capP,
-                      k_planes * capP + k * n + (slot_of - capP))
-            for k in range(k_planes)
-        ])
+    # Plane construction is GATHER-shaped, not scatter-shaped (round 5):
+    # ONE 1M-element scatter inverts the placement into a bead_at_slot
+    # map, then every plane is a minor-axis gather through it.  On this
+    # part scatters cost ~12.5 ms per million elements vs ~2.2 for
+    # minor-axis gathers (probe_1m_components 2026-08-20: the previous
+    # two concatenated scatters — 9M f32 + 3M int — were ~150 ms of the
+    # 188 ms 1M rebuild).  slot_sorted's overflow entries (>= capP,
+    # distinct by construction) drop; unplaced slots keep the n sentinel
+    # so bid masks them and the gathers read the appended sentinel
+    # column (_FAR positions / zero v,f / no-bond / no-partner).
+    bas = jnp.full((capP,), n, jnp.int32).at[slot_sorted].set(
+        order, mode="drop", unique_indices=True)
 
-    # one f32 scatter for x+v+f (9 components)
-    tgt9 = plane_targets(9)
-    vals9 = jnp.concatenate([x[:, 0], x[:, 1], x[:, 2],
-                             v[:, 0], v[:, 1], v[:, 2],
-                             f[:, 0], f[:, 1], f[:, 2]])
-    flat9 = jnp.concatenate([
-        jnp.full((3 * capP,), _FAR, dtype), jnp.zeros((6 * capP,), dtype)
-    ])
-    flat9 = flat9.at[tgt9].set(vals9, mode="drop", unique_indices=True)
-    gx = flat9[: 3 * capP].reshape(3, cap, P)
-    gv = flat9[3 * capP: 6 * capP].reshape(3, cap, P)
-    gf = flat9[6 * capP:].reshape(3, cap, P)
+    arr9 = jnp.stack([x[:, 0], x[:, 1], x[:, 2],
+                      v[:, 0], v[:, 1], v[:, 2],
+                      f[:, 0], f[:, 1], f[:, 2]])
+    sentinel = jnp.asarray([_FAR, _FAR, _FAR, 0, 0, 0, 0, 0, 0],
+                           dtype)[:, None]
+    planes9 = jnp.concatenate([arr9, sentinel], axis=1)[:, bas]
+    gx = planes9[0:3].reshape(3, cap, P)
+    gv = planes9[3:6].reshape(3, cap, P)
+    gf = planes9[6:9].reshape(3, cap, P)
 
-    # one int scatter for bid + hn + pid (3 planes)
     nxt = jnp.asarray(system.next_bead)
     partner = _partner_of(ex_left, ex_right, n)
-    tgt3 = plane_targets(3)
-    vals3 = jnp.concatenate([
-        idx, (nxt >= 0).astype(jnp.int32), partner
-    ])
-    flat3 = jnp.concatenate([
-        jnp.full((capP,), n, jnp.int32), jnp.zeros((capP,), jnp.int32),
-        jnp.full((capP,), -1, jnp.int32),
-    ])
-    flat3 = flat3.at[tgt3].set(vals3, mode="drop", unique_indices=True)
-    bid = flat3[:capP].reshape(cap, P)
-    hn = flat3[capP: 2 * capP].reshape(cap, P).astype(bool)
-    pid = flat3[2 * capP:].reshape(cap, P)
+    bid = bas.reshape(cap, P)
+    hn_src = jnp.concatenate([(nxt >= 0), jnp.zeros((1,), bool)])
+    hn = hn_src[bas].reshape(cap, P)
+    pid_src = jnp.concatenate([partner, jnp.full((1,), -1, jnp.int32)])
+    pid = pid_src[bas].reshape(cap, P)
 
     # static halo columns for the int planes (refreshed only at rebuild);
     # masked rolls for the same reason as _halo_refresh (the 3-plane
