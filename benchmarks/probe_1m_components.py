@@ -145,6 +145,38 @@ def main(n_beads=1_000_000, reps=50):
     timed("integrate-shaped elementwise x1", integ, gx, reps,
           get=lambda o: o[0, 0, :8])
 
+    # 5) rebuild decomposition: the LE-window amortized cost lives here
+    from lammps_le_tpu.fast.engine import _extract_beads, _place
+
+    r2 = max(reps // 5, 5)
+
+    def rb(fs_):
+        x, v, f = _extract_beads(fs_, system)
+        (gx2, gv2, gf2, bid, hn, pid, slot_of, exl, exr, _, img,
+         ov) = _place(system, maps, x, v, f, fs_.types, fs_.ex_left,
+                      fs_.ex_right, fs_.img)
+        return fs_.replace(gx=gx2, gv=gv2, gf=gf2, bid=bid, hn=hn,
+                           pid=pid, slot_of=slot_of, img=img)
+
+    timed("rebuild (extract + place)", rb, fs, r2,
+          get=lambda o: o.step)
+
+    def ext(fs_):
+        x, v, f = _extract_beads(fs_, system)
+        return fs_.replace(ex_left=fs_.ex_left + (x[0, 0] * 0).astype(
+            jnp.int32))
+
+    timed("extract_beads alone (9-plane gather)", ext, fs, r2,
+          get=lambda o: o.step)
+
+    col0 = jnp.clip(fs.slot_of % maps.P, 0, maps.P - 1)
+
+    def srt(c):
+        o = jnp.argsort(c).astype(jnp.int32)
+        return c + o[:1]
+
+    timed("argsort 1M int32 alone", srt, col0, r2)
+
     return 0
 
 
